@@ -1,0 +1,61 @@
+"""String -> object resolution for config-driven wiring.
+
+Equivalent capability to the reference's dnnlib resolver
+(reference: utils/dnnlib/util.py:292-297, get_module_from_obj_name :235-273):
+every ``callable:`` key in the YAML tree resolves through here.
+"""
+
+from __future__ import annotations
+
+import importlib
+from typing import Any
+
+# Reference callables map onto our TPU-native implementations so that configs
+# written against the reference keep working unchanged.
+_ALIASES = {
+    "networks.cqtdiff+.Unet_CQT_oct_with_attention": "babe_tpu.models.cqtdiff.CQTDiffPlus",
+    "networks.denoiser.MultiStage_denoise": "babe_tpu.models.denoiser.MultiStageDenoiser",
+    "diff_params.edm.EDM": "babe_tpu.diffusion.edm.EDM",
+    "diff_params.edm_eps.EDM": "babe_tpu.diffusion.edm_eps.EDMEps",
+    "diff_params.edm_PD.EDM": "babe_tpu.diffusion.edm_pd.EDMPD",
+    "testing.blind_bwe_sampler.BlindSampler": "babe_tpu.sampling.blind.BlindSampler",
+    "testing.edm_sampler.Sampler": "babe_tpu.sampling.heun.Sampler",
+    "testing.blind_bwe_tester.BlindTester": "babe_tpu.testers.tester.Tester",
+    "testing.blind_bwe_tester_small.BlindTester": "babe_tpu.testers.tester.Tester",
+    "testing.blind_bwe_tester_mushra.BlindTester": "babe_tpu.testers.tester.Tester",
+    "testing.denoise_and_bwe_tester.BlindTester": "babe_tpu.testers.tester.Tester",
+    "testing.tester.Tester": "babe_tpu.testers.tester.Tester",
+    # stale path present in some reference tester configs (SURVEY.md §2.11)
+    "testing.blind_bwe.blind_bwe_tester.BlindTester": "babe_tpu.testers.tester.Tester",
+    "training.trainer.Trainer": "babe_tpu.training.trainer.Trainer",
+    "datasets.audiofolder.AudioFolderDataset": "babe_tpu.data.datasets.AudioFolderDataset",
+    "datasets.audiofolder_test.AudioFolderDatasetTest": "babe_tpu.data.datasets.AudioFolderDatasetTest",
+    "datasets.maestro_dataset.MaestroDataset_fs": "babe_tpu.data.datasets.MaestroDatasetFs",
+    "datasets.maestro_dataset_test.MaestroDatasetTestChunks": "babe_tpu.data.datasets.MaestroDatasetTestChunks",
+    "datasets.cocochorales.AudioFolderDataset": "babe_tpu.data.datasets.CocoChoralesDataset",
+}
+
+
+def get_obj_by_name(name: str) -> Any:
+    """Resolve 'pkg.module.Object' (aliases from the reference namespace apply)."""
+    name = _ALIASES.get(name, name)
+    parts = name.split(".")
+    for split in range(len(parts) - 1, 0, -1):
+        module_name = ".".join(parts[:split])
+        try:
+            module = importlib.import_module(module_name)
+        except ImportError:
+            continue
+        obj: Any = module
+        try:
+            for attr in parts[split:]:
+                obj = getattr(obj, attr)
+        except AttributeError:
+            continue
+        return obj
+    raise ImportError(f"cannot resolve object {name!r}")
+
+
+def call_func_by_name(*args: Any, func_name: str, **kwargs: Any) -> Any:
+    """Resolve and call (reference: utils/dnnlib/util.py:292-297)."""
+    return get_obj_by_name(func_name)(*args, **kwargs)
