@@ -1,0 +1,351 @@
+"""Building blocks of the CQTDiff+ backbone (flax.linen, NHWC/TPU layout).
+
+Faithful functional re-implementations of the reference blocks
+(networks/cqtdiff+.py:20-580) with TPU-first layout choices:
+
+  * activations are (B, F, T, C) — channels-last for TPU convolutions
+    (the reference uses NCHW; checkpoint conversion transposes kernels),
+  * module/parameter naming mirrors the torch module tree
+    ("downs.0.2.H.3.weight" -> params["downs_0_2"]["H_3"]["kernel"]) so the
+    PyTorch checkpoint converter (babe_tpu/utils/torch_ckpt.py) is mechanical,
+  * the non-trainable RFF buffers live in the "buffers" variable collection.
+
+Init parity: EDM-style kaiming_uniform scaled by init_weight
+(networks/cqtdiff+.py:20-25, init/init_zero at :599-600).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SQRT2 = math.sqrt(2.0)
+
+
+def kaiming_uniform(scale: float) -> Callable:
+    """weight_init('kaiming_uniform') * scale (networks/cqtdiff+.py:23)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        fan_in = int(np.prod(shape[:-1]))
+        bound = math.sqrt(3.0 / fan_in)
+        return jax.random.uniform(key, shape, dtype, -1.0, 1.0) * bound * scale
+
+    return init
+
+
+INIT_W = math.sqrt(1.0 / 3.0)  # 'init' in the reference (:599)
+INIT_ZERO = 1e-7  # 'init_zero' (:600)
+
+
+class Linear(nn.Module):
+    """torch-compatible Linear with EDM init (networks/cqtdiff+.py:27-40)."""
+
+    features: int
+    use_bias: bool = True
+    init_weight: float = INIT_W
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.param("kernel", kaiming_uniform(self.init_weight),
+                       (x.shape[-1], self.features))
+        y = x @ k
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + b
+        return y
+
+
+class Conv2d(nn.Module):
+    """2-D conv on (B, F, T, C); kernel (kf, kt), dilation along F
+    (networks/cqtdiff+.py:66-88). 'SAME' padding, odd kernels only."""
+
+    features: int
+    kernel: tuple[int, int] = (1, 1)
+    dilation: tuple[int, int] = (1, 1)
+    use_bias: bool = False
+    init_weight: float = INIT_W
+
+    @nn.compact
+    def __call__(self, x):
+        conv = nn.Conv(
+            self.features,
+            kernel_size=self.kernel,
+            kernel_dilation=self.dilation,
+            padding="SAME",
+            use_bias=self.use_bias,
+            kernel_init=kaiming_uniform(self.init_weight),
+            bias_init=nn.initializers.zeros,
+            name="conv",
+        )
+        return conv(x)
+
+
+class Conv1d(nn.Module):
+    """1-D conv on (B, T, C) (networks/cqtdiff+.py:42-65)."""
+
+    features: int
+    kernel: int = 1
+    dilation: int = 1
+    use_bias: bool = False
+    init_weight: float = INIT_W
+
+    @nn.compact
+    def __call__(self, x):
+        conv = nn.Conv(
+            self.features,
+            kernel_size=(self.kernel,),
+            kernel_dilation=(self.dilation,),
+            padding="SAME",
+            use_bias=self.use_bias,
+            kernel_init=kaiming_uniform(self.init_weight),
+            bias_init=nn.initializers.zeros,
+            name="conv",
+        )
+        return conv(x)
+
+
+class BiasFreeGroupNorm(nn.Module):
+    """Std-only group norm: x / (std + eps) * gamma, no mean subtraction of x
+    but a *centered*, unbiased std — exactly torch's x.std()
+    (networks/cqtdiff+.py:137-163). Input (B, F, T, C), groups over channels."""
+
+    num_features: int
+    num_groups: int = 8
+    eps: float = 1e-7
+
+    @nn.compact
+    def __call__(self, x):
+        gamma = self.param("gamma", nn.initializers.ones, (self.num_features,))
+        B, F, T, C = x.shape
+        g = self.num_groups
+        xg = x.reshape(B, F, T, g, C // g)
+        xg = jnp.moveaxis(xg, 3, 1)  # [B, g, F, T, C//g]
+        x32 = xg.astype(jnp.float32)
+        n = F * T * (C // g)
+        mean = jnp.mean(x32, axis=(2, 3, 4), keepdims=True)
+        var = jnp.sum((x32 - mean) ** 2, axis=(2, 3, 4), keepdims=True) / (n - 1)
+        std = jnp.sqrt(var)
+        xg = (xg / (std + self.eps).astype(x.dtype))
+        xg = jnp.moveaxis(xg, 1, 3).reshape(B, F, T, C)
+        return xg * gamma.astype(x.dtype)
+
+
+class RFF_MLP_Block(nn.Module):
+    """Noise-level embedding: fixed random Fourier features + 3-layer relu MLP
+    (networks/cqtdiff+.py:167-211). RFF_freq is a frozen buffer."""
+
+    emb_dim: int = 256
+    rff_dim: int = 32
+
+    @nn.compact
+    def __call__(self, sigma):
+        rff = self.variable(
+            "buffers", "RFF_freq",
+            lambda: 16.0 * jax.random.normal(
+                self.make_rng("params") if self.has_rng("params") else jax.random.PRNGKey(0),
+                (1, self.rff_dim)),
+        ).value
+        table = 2.0 * jnp.pi * sigma * rff
+        x = jnp.concatenate([jnp.sin(table), jnp.cos(table)], axis=1)
+        x = nn.relu(Linear(128, name="MLP_0")(x))
+        x = nn.relu(Linear(256, name="MLP_1")(x))
+        x = nn.relu(Linear(self.emb_dim, name="MLP_2")(x))
+        return x
+
+
+class AddFreqEncodingRFF(nn.Module):
+    """Fixed RFF positional channels over the frequency axis, concatenated
+    (networks/cqtdiff+.py:213-263). Input (B, F, T, C) -> (B, F, T, C + 2N)."""
+
+    f_dim: int
+    N: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        def build():
+            key = self.make_rng("params") if self.has_rng("params") else jax.random.PRNGKey(0)
+            freqs = 16.0 * jax.random.normal(key, (1, self.N, 1))
+            n = jnp.arange(self.f_dim)[None, None, :]
+            table = 2.0 * jnp.pi * n * freqs
+            return jnp.concatenate([jnp.sin(table), jnp.cos(table)], axis=1)[0]  # [2N, F]
+
+        emb = self.variable("buffers", "embeddings", build).value  # [2N, F]
+        B, F, T, C = x.shape
+        enc = jnp.broadcast_to(emb.T[None, :, None, :], (B, F, T, 2 * self.N))
+        return jnp.concatenate([x, enc.astype(x.dtype)], axis=-1)
+
+
+def _relative_position_bucket(rel_pos, num_buckets: int, max_distance: int):
+    """T5 bucketing (networks/cqtdiff+.py:274-298)."""
+    num_buckets //= 2
+    ret = (rel_pos >= 0).astype(jnp.int32) * num_buckets
+    n = jnp.abs(rel_pos)
+    max_exact = num_buckets // 2
+    is_small = n < max_exact
+    val_if_large = max_exact + (
+        jnp.log(jnp.maximum(n, 1).astype(jnp.float32) / max_exact)
+        / math.log(max_distance / max_exact)
+        * (num_buckets - max_exact)
+    ).astype(jnp.int32)
+    val_if_large = jnp.minimum(val_if_large, num_buckets - 1)
+    return ret + jnp.where(is_small, n, val_if_large)
+
+
+class RelativePositionBias(nn.Module):
+    """(networks/cqtdiff+.py:266-312)"""
+
+    num_buckets: int
+    max_distance: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, num_queries: int, num_keys: int):
+        emb = self.param(
+            "relative_attention_bias",
+            nn.initializers.normal(1.0),
+            (self.num_buckets, self.num_heads),
+        )
+        i, j = num_queries, num_keys
+        q_pos = jnp.arange(j - i, j)
+        k_pos = jnp.arange(j)
+        rel_pos = k_pos[None, :] - q_pos[:, None]
+        bucket = _relative_position_bucket(rel_pos, self.num_buckets, self.max_distance)
+        bias = emb[bucket]  # [i, j, heads]
+        return jnp.transpose(bias, (2, 0, 1))[None]  # [1, h, i, j]
+
+
+class TimeAttentionBlock(nn.Module):
+    """Per-head time attention with frequency-flattened features
+    (networks/cqtdiff+.py:314-380). Input (B, F, T, C)."""
+
+    attention_dict: Any
+    Fdim: int
+
+    @nn.compact
+    def __call__(self, x):
+        ad = self.attention_dict
+        heads = int(ad["num_heads"])
+        N = heads * self.Fdim
+        B, F, T, C = x.shape
+        h = Conv2d(heads, (1, 1), name="proj_in")(x)  # [B, F, T, heads]
+        # "b h f t -> b (h f) t" with channels-last: [B, T, heads*F]
+        hf = jnp.transpose(h, (0, 2, 3, 1)).reshape(B, T, heads * F)
+        v = hf.reshape(B, T, heads, F).transpose(0, 2, 1, 3)  # [B, h, T, F]
+        qk = Conv1d(2 * N, 1, use_bias=bool(ad.get("bias_qkv", False)), name="qk")(hf)
+        qk = qk.reshape(B, T, heads, 2 * self.Fdim).transpose(0, 2, 1, 3)
+        q, k = jnp.split(qk, 2, axis=-1)
+        sim = jnp.einsum("bhnd,bhmd->bhnm", q, k)
+        if ad.get("use_rel_pos", True):
+            sim = sim + RelativePositionBias(
+                num_buckets=int(ad["rel_pos_num_buckets"]),
+                max_distance=int(ad["rel_pos_max_distance"]),
+                num_heads=heads,
+                name="rel_pos",
+            )(T, T)
+        sim = sim * (self.Fdim**-0.5)
+        attn = jax.nn.softmax(sim, axis=-1)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)  # [B, h, T, F]
+        out = out.transpose(0, 3, 2, 1)  # [B, F, T, heads]
+        return Conv2d(C, (1, 1), name="proj_out")(out)
+
+
+class ResnetBlock(nn.Module):
+    """Sigma-conditioned dilated-conv residual block
+    (networks/cqtdiff+.py:382-493)."""
+
+    dim: int
+    dim_out: int
+    use_norm: bool = True
+    num_dils: int = 6
+    kernel_size: tuple[int, int] = (5, 3)
+    emb_dim: int = 256
+    proj_place: str = "before"  # 'after' for decoder out-blocks
+    attention_dict: Any = None
+    Fdim: int = 128
+
+    @nn.compact
+    def __call__(self, x_in, sigma_emb):
+        N = self.dim_out if self.proj_place == "before" else self.dim
+
+        x = x_in
+        if self.dim != N:
+            x = Conv2d(N, (1, 1), name="proj_in")(x)
+
+        if self.attention_dict is not None:
+            i_x = x
+            gamma = Linear(N, name="affine2")(sigma_emb)
+            scale = Linear(N, init_weight=INIT_ZERO, name="gate2")(sigma_emb)
+            h = BiasFreeGroupNorm(N, 8, name="norm2")(x)
+            h = h * (gamma[:, None, None, :] + 1.0)
+            h = TimeAttentionBlock(self.attention_dict, self.Fdim, name="attn_block")(h)
+            x = (i_x + h * scale[:, None, None, :]) / SQRT2
+
+        for i in range(self.num_dils):
+            x0 = x
+            h = x
+            if self.use_norm:
+                h = BiasFreeGroupNorm(N, 8, name=f"norm_{i}")(h)
+            gamma = Linear(N, name=f"affine_{i}")(sigma_emb)
+            scale = Linear(N, init_weight=INIT_ZERO, name=f"gate_{i}")(sigma_emb)
+            h = h * (gamma[:, None, None, :] + 1.0)
+            h = Conv2d(
+                N, self.kernel_size, dilation=(2**i, 1), name=f"H_{i}"
+            )(nn.gelu(h, approximate=False))
+            x = (x0 + h * scale[:, None, None, :]) / SQRT2
+
+        if self.proj_place == "after" and N != self.dim_out:
+            x = Conv2d(self.dim_out, (1, 1), name="proj_out")(x)
+
+        res = x_in
+        if self.dim != self.dim_out:
+            res = Conv2d(self.dim_out, (1, 1), name="res_conv")(x_in)
+        return (x + res) / SQRT2
+
+
+_RESAMPLE_KERNELS = {
+    "linear": np.array([1 / 8, 3 / 8, 3 / 8, 1 / 8], np.float32),
+    "cubic": np.array(
+        [-0.01171875, -0.03515625, 0.11328125, 0.43359375,
+         0.43359375, 0.11328125, -0.03515625, -0.01171875], np.float32),
+    "lanczos3": np.array(
+        [0.003689131001010537, 0.015056144446134567, -0.03399861603975296,
+         -0.066637322306633, 0.13550527393817902, 0.44638532400131226,
+         0.44638532400131226, 0.13550527393817902, -0.066637322306633,
+         -0.03399861603975296, 0.015056144446134567, 0.003689131001010537],
+        np.float32),
+}
+
+
+def _conv_time(x2d: jnp.ndarray, w: jnp.ndarray, stride: int, lhs_dilation: int,
+               pad: tuple[int, int]) -> jnp.ndarray:
+    return jax.lax.conv_general_dilated(
+        x2d[:, None, :], w.reshape(1, 1, -1), window_strides=(stride,),
+        padding=[pad], lhs_dilation=(lhs_dilation,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )[:, 0, :]
+
+
+def resample_time(x: jnp.ndarray, up: bool, kernel: str = "cubic") -> jnp.ndarray:
+    """Anti-aliased x2 time resampling with reflect padding
+    (networks/cqtdiff+.py:522-580, UpDownResample mode 'T').
+
+    Input (B, F, T, C); filters every (b, f, c) row along T.
+    Down: reflect-pad 3, correlate k=8 stride 2  -> T/2.
+    Up:   reflect-pad 2, zero-stuff (lhs_dilation 2), convolve -> 2T.
+    """
+    w = jnp.asarray(_RESAMPLE_KERNELS[kernel])
+    B, F, T, C = x.shape
+    xr = jnp.transpose(x, (0, 1, 3, 2)).reshape(-1, T)
+    if not up:
+        xp = jnp.pad(xr, ((0, 0), (3, 3)), mode="reflect")
+        y = _conv_time(xp, w, stride=2, lhs_dilation=1, pad=(0, 0))
+    else:
+        xp = jnp.pad(xr, ((0, 0), (2, 2)), mode="reflect")
+        y = _conv_time(xp, w[::-1], stride=1, lhs_dilation=2, pad=(0, 0))
+    Tn = y.shape[-1]
+    return jnp.transpose(y.reshape(B, F, C, Tn), (0, 1, 3, 2))

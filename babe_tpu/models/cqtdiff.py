@@ -1,0 +1,227 @@
+"""CQTDiff+ — the octave-banded CQT diffusion U-Net, TPU-native.
+
+Re-implementation of the reference backbone ``Unet_CQT_oct_with_attention``
+(networks/cqtdiff+.py:583-845) on top of the JAX NSGT-CQT (babe_tpu/ops/cqt.py):
+
+  raw audio (B,T) --CQT--> per-octave complex coeffs --[encoder: per-octave
+  init blocks, freq-dilated ResNet blocks, x2 time downsampling, auxiliary
+  "pyramid" path of raw-CQT downsamples]--> bottleneck --[decoder with
+  per-octave output heads accumulated into the output coefficient pytree]--
+  --CQT^-1--> raw audio (B,T).
+
+Layout is channels-last (B, F, T, C); the CQT octave list is a static pytree
+(tuple) ordered lowest octave first, consumed highest-first exactly like the
+reference (networks/cqtdiff+.py:743-753 consumes X_list[-1-i], writes
+X_list_out[i] at :826-830).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from babe_tpu.models.blocks import (
+    SQRT2,
+    AddFreqEncodingRFF,
+    Conv2d,
+    ResnetBlock,
+    RFF_MLP_Block,
+    resample_time,
+)
+from babe_tpu.ops.cqt import CQT, get_cqt
+
+
+class CQTDiffPlusNet(nn.Module):
+    """The flax module operating on CQT coefficient pytrees.
+
+    ``__call__(coeffs, sigma_emb_input)`` where coeffs is the tuple from
+    CQT.fwd (lowest octave first) and the second argument is cnoise [B, 1].
+    Returns the output coefficient tuple (same shapes).
+    """
+
+    num_octs: int = 7
+    bins_per_oct: int = 64
+    emb_dim: int = 256
+    Ns: Sequence[int] = (64, 96, 96, 128, 128, 256, 256)
+    num_dils: Sequence[int] = (2, 3, 4, 5, 6, 7, 7)
+    use_norm: bool = True
+    use_fencoding: bool = False
+    attention_layers: Sequence[int] = (0, 0, 0, 0, 0, 0, 0, 0)
+    attention_dict: Any = None
+    num_bottleneck_layers: int = 1
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, coeffs, sigma):
+        n = self.num_octs
+        bpo = self.bins_per_oct
+        assert len(coeffs) == n
+        sigma_emb = RFF_MLP_Block(emb_dim=self.emb_dim, name="embedding")(sigma)
+        sigma_emb = sigma_emb.astype(self.compute_dtype)
+
+        def as_real(c):
+            # complex [B, F, M] -> (B, F, M, 2) channels-last
+            return jnp.stack([c.real, c.imag], axis=-1).astype(self.compute_dtype)
+
+        def attn(i):
+            if self.attention_layers[i]:
+                return dict(self.attention_dict)
+            return None
+
+        hs = []
+        X = None
+        pyr = None
+        for i in range(n):
+            C = as_real(coeffs[n - 1 - i])  # highest octave first
+            if self.use_fencoding:
+                C2 = AddFreqEncodingRFF(bpo, 32, name=f"freq_encodings_{i}")(C)
+            else:
+                C2 = C
+            dim_in = self.Ns[i - 1] if i > 0 else self.Ns[i]
+            dim_out = self.Ns[i]
+            C2 = ResnetBlock(
+                C2.shape[-1], dim_in, self.use_norm, num_dils=1,
+                kernel_size=(1, 1), emb_dim=self.emb_dim,
+                name=f"downs_{i}_0",
+            )(C2, sigma_emb)
+
+            if i == 0:
+                X = C2
+                pyr = resample_time(C, up=False)
+            elif i < n - 1:
+                pyr = jnp.concatenate(
+                    [resample_time(C, up=False), resample_time(pyr, up=False)], axis=1
+                )
+                X = jnp.concatenate([C2, X], axis=1)
+            else:
+                pyr = jnp.concatenate([C, pyr], axis=1)
+                X = jnp.concatenate([C2, X], axis=1)
+
+            X = ResnetBlock(
+                dim_in, dim_out, self.use_norm, num_dils=self.num_dils[i],
+                emb_dim=self.emb_dim, attention_dict=attn(i),
+                Fdim=(i + 1) * bpo, name=f"downs_{i}_2",
+            )(X, sigma_emb)
+            hs.append(X)
+
+            if i < n - 1:
+                X = resample_time(X, up=False)
+            pyr_proj = Conv2d(dim_out, (5, 3), name=f"downs_{i}_1")(pyr)
+            X = (X + pyr_proj) / SQRT2
+
+        Xout = None
+        for b in range(self.num_bottleneck_layers):
+            X = ResnetBlock(
+                self.Ns[-1], self.Ns[-1], self.use_norm,
+                num_dils=self.num_dils[-1], emb_dim=self.emb_dim,
+                attention_dict=attn(n) if len(self.attention_layers) > n else None,
+                Fdim=n * bpo, name=f"middle_{b}_1",
+            )(X, sigma_emb)
+            Xout = ResnetBlock(
+                self.Ns[-1], 2, self.use_norm, num_dils=1, kernel_size=(1, 1),
+                proj_place="after", emb_dim=self.emb_dim, name=f"middle_{b}_0",
+            )(X, sigma_emb)
+
+        outs = [None] * n
+        for pidx in range(n):  # ups list position; j = octave level
+            j = n - 1 - pidx
+            if j == 0:
+                dim_in, dim_out = self.Ns[0] * 2, self.Ns[0]
+            else:
+                dim_in, dim_out = self.Ns[j] * 2, self.Ns[j - 1]
+            skip = hs.pop()
+            X = jnp.concatenate([X, skip], axis=-1)
+            X = ResnetBlock(
+                dim_in, dim_out, self.use_norm, num_dils=self.num_dils[j],
+                emb_dim=self.emb_dim, attention_dict=attn(j),
+                Fdim=(j + 1) * bpo, name=f"ups_{pidx}_1",
+            )(X, sigma_emb)
+            out_head = ResnetBlock(
+                dim_out, 2, self.use_norm, num_dils=1, kernel_size=(1, 1),
+                proj_place="after", emb_dim=self.emb_dim, name=f"ups_{pidx}_0",
+            )(X, sigma_emb)
+            Xout = (Xout + out_head) / SQRT2
+
+            X = X[:, bpo:, :, :]
+            Out, Xout = Xout[:, :bpo, :, :], Xout[:, bpo:, :, :]
+            Outf = Out.astype(jnp.float32)
+            outs[pidx] = Outf[..., 0] + 1j * Outf[..., 1]
+
+            if 0 < j:
+                X = resample_time(X, up=True)
+                Xout = resample_time(Xout, up=True)
+
+        return tuple(outs)
+
+
+class CQTDiffPlus:
+    """User-facing model wrapper: raw-audio in/out with the CQT fused around
+    the flax network (reference forward: networks/cqtdiff+.py:730-845).
+
+    Usage:
+        model = CQTDiffPlus.from_config(cfg)
+        params = model.init(jax.random.PRNGKey(0))
+        x_hat = model.apply(params, x, cnoise)     # x [B,T], cnoise [B,1]
+    """
+
+    def __init__(self, num_octs=7, bins_per_oct=64, fs=22050.0, audio_len=184184,
+                 window="kaiser", beta=1.0, emb_dim=256,
+                 Ns=(64, 96, 96, 128, 128, 256, 256),
+                 num_dils=(2, 3, 4, 5, 6, 7, 7), use_norm=True,
+                 use_fencoding=False,
+                 attention_layers=(0, 0, 0, 0, 0, 0, 0, 0),
+                 attention_dict=None, num_bottleneck_layers=1,
+                 compute_dtype=jnp.float32):
+        self.cqt: CQT = get_cqt(num_octs, bins_per_oct, float(fs), int(audio_len),
+                                window=window, beta=float(beta))
+        self.audio_len = int(audio_len)
+        self.net = CQTDiffPlusNet(
+            num_octs=num_octs, bins_per_oct=bins_per_oct, emb_dim=emb_dim,
+            Ns=tuple(Ns), num_dils=tuple(num_dils), use_norm=use_norm,
+            use_fencoding=use_fencoding,
+            attention_layers=tuple(attention_layers),
+            attention_dict=attention_dict,
+            num_bottleneck_layers=num_bottleneck_layers,
+            compute_dtype=compute_dtype,
+        )
+
+    @classmethod
+    def from_config(cls, args, compute_dtype=jnp.float32) -> "CQTDiffPlus":
+        net = args.network
+        win = net.cqt.get("window", "kaiser")
+        return cls(
+            num_octs=int(net.cqt.num_octs), bins_per_oct=int(net.cqt.bins_per_oct),
+            fs=float(args.exp.sample_rate), audio_len=int(args.exp.audio_len),
+            window=win, beta=float(net.cqt.get("beta", 1.0)),
+            emb_dim=int(net.emb_dim), Ns=tuple(net.Ns),
+            num_dils=tuple(net.num_dils), use_norm=bool(net.use_norm),
+            use_fencoding=bool(net.use_fencoding),
+            attention_layers=tuple(net.attention_layers),
+            attention_dict=net.get("attention_dict"),
+            num_bottleneck_layers=int(net.get("num_bottleneck_layers", 1)),
+            compute_dtype=compute_dtype,
+        )
+
+    def init(self, key, batch: int = 1):
+        x = jnp.zeros((batch, self.audio_len), jnp.float32)
+        coeffs = self.cqt.fwd(x)
+        sigma = jnp.zeros((batch, 1), jnp.float32)
+        return self.net.init({"params": key}, coeffs, sigma)
+
+    def apply(self, variables, x: jnp.ndarray, cnoise: jnp.ndarray) -> jnp.ndarray:
+        """Full forward: CQT -> U-Net -> CQT^-1 -> crop (reference :730-845)."""
+        T = x.shape[-1]
+        coeffs = self.cqt.fwd(x)
+        outs = self.net.apply(variables, coeffs, cnoise)
+        y = self.cqt.bwd(outs, length=T)
+        return y
+
+    def bound(self, variables):
+        """Returns net(x, cnoise) closure for samplers/diffusion."""
+        return lambda x, cnoise: self.apply(variables, x, cnoise)
+
+    def apply_hpf_DC(self, x):
+        return self.cqt.apply_hpf_DC(x)

@@ -1,0 +1,99 @@
+"""Golden parity: flax CQTDiff+ with converted weights vs the torch reference.
+
+Instantiates the reference Unet_CQT_oct_with_attention (random torch init),
+converts its state_dict through babe_tpu.utils.torch_ckpt, and checks the full
+forward (CQT -> U-Net -> CQT^-1) matches on identical inputs.  This validates
+both the checkpoint converter (for the published HF weights) and every
+architectural detail of the re-implementation.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from babe_tpu.config import make_config
+from babe_tpu.models.cqtdiff import CQTDiffPlus
+from babe_tpu.utils.torch_ckpt import convert_state_dict, fill_variables
+
+from torch_ref import build_reference_model
+
+FS = 22050
+LEN = 4096
+
+
+def make_args(attention: bool):
+    n_oct = 3
+    return make_config(
+        {
+            "exp": {"sample_rate": FS, "audio_len": LEN},
+            "network": {
+                "use_fencoding": False,
+                "use_norm": True,
+                "emb_dim": 32,
+                "Ns": [8, 8, 16],
+                "Ss": [2, 2, 2],
+                "num_dils": [1, 1, 2],
+                "cqt": {"window": "kaiser", "beta": 1, "num_octs": n_oct,
+                        "bins_per_oct": 8},
+                "bottleneck_type": "res_dil_convs",
+                "num_bottleneck_layers": 1,
+                "attention_layers": [0, 1, 1, 1] if attention else [0, 0, 0, 0],
+                "attention_dict": {
+                    "num_heads": 2,
+                    "attn_dropout": 0.0,
+                    "bias_qkv": False,
+                    "N": 0,
+                    "rel_pos_num_buckets": 8,
+                    "rel_pos_max_distance": 16,
+                    "use_rel_pos": True,
+                    "Nproj": 4,
+                },
+            },
+        }
+    )
+
+
+@pytest.mark.parametrize("attention", [False, True])
+def test_forward_parity(attention, rng):
+    args = make_args(attention)
+    ref = build_reference_model(args)
+    ref.eval()
+
+    model = CQTDiffPlus.from_config(args)
+    template = model.init(jax.random.PRNGKey(0), batch=2)
+    converted = convert_state_dict(ref.state_dict())
+    variables = fill_variables(template, converted, strict=True)
+
+    x = rng.standard_normal((2, LEN)).astype(np.float32) * 0.1
+    cnoise = np.array([[-0.5], [0.25]], dtype=np.float32)
+
+    with torch.no_grad():
+        y_ref = ref(torch.from_numpy(x), torch.from_numpy(cnoise)).numpy()
+    y_jax = np.asarray(model.apply(variables, jnp.asarray(x), jnp.asarray(cnoise)))
+
+    assert y_jax.shape == y_ref.shape
+    denom = np.abs(y_ref).max() + 1e-12
+    rel = np.abs(y_jax - y_ref).max() / denom
+    assert rel < 5e-4, f"forward mismatch: max rel err {rel}"
+
+
+def test_param_count_matches():
+    args = make_args(False)
+    ref = build_reference_model(args)
+    n_ref = sum(p.numel() for p in ref.parameters() if p.requires_grad)
+    model = CQTDiffPlus.from_config(args)
+    v = model.init(jax.random.PRNGKey(0))
+    n_jax = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(v["params"]))
+    assert n_jax == n_ref
+
+
+def test_hpf_dc_parity(rng):
+    args = make_args(False)
+    ref = build_reference_model(args)
+    model = CQTDiffPlus.from_config(args)
+    x = rng.standard_normal((1, LEN)).astype(np.float32)
+    a = ref.CQTransform.apply_hpf_DC(torch.from_numpy(x)).numpy()
+    b = np.asarray(model.apply_hpf_DC(jnp.asarray(x)))
+    np.testing.assert_allclose(a, b, atol=1e-5)
