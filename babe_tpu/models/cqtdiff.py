@@ -21,6 +21,7 @@ import math
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from babe_tpu.models.blocks import (
@@ -206,10 +207,15 @@ class CQTDiffPlus:
         )
 
     def init(self, key, batch: int = 1):
-        x = jnp.zeros((batch, self.audio_len), jnp.float32)
-        coeffs = self.cqt.fwd(x)
-        sigma = jnp.zeros((batch, 1), jnp.float32)
-        return self.net.init({"params": key}, coeffs, sigma)
+        # one jitted program: avoids per-op dispatch overhead (crippling on
+        # remote-tunneled TPU backends) during initialization
+        def _init(key):
+            x = jnp.zeros((batch, self.audio_len), jnp.float32)
+            coeffs = self.cqt.fwd(x)
+            sigma = jnp.zeros((batch, 1), jnp.float32)
+            return self.net.init({"params": key}, coeffs, sigma)
+
+        return jax.jit(_init)(key)
 
     def apply(self, variables, x: jnp.ndarray, cnoise: jnp.ndarray) -> jnp.ndarray:
         """Full forward: CQT -> U-Net -> CQT^-1 -> crop (reference :730-845)."""

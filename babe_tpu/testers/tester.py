@@ -1,0 +1,631 @@
+"""Unified experiment driver ("tester") covering all reference tester modes.
+
+The reference ships five ~85%-duplicated tester classes
+(testing/tester.py, blind_bwe_tester{,_small,_mushra}.py,
+denoise_and_bwe_tester.py — SURVEY.md §2.5).  Here they are one driver with a
+mode dispatch (``dodajob``), mirroring the union of behaviors:
+
+  unconditional            testing/tester.py:226-240
+  inpainting               testing/tester.py:242-331
+  bwe (informed)           testing/blind_bwe_tester.py:582-694
+  blind_bwe (synthetic)    testing/blind_bwe_tester.py:1037-1224
+  real_blind_bwe           testing/blind_bwe_tester.py:871-1035
+  real_blind_bwe_complete  testing/blind_bwe_tester.py:710-868 (AR chunks)
+  formal_test_bwe          testing/blind_bwe_tester.py:321-578 (OLA/AR, resume)
+  formal_test_bwe_small    testing/blind_bwe_tester_small.py:300-430 (dB-MSE)
+  mushra                   testing/blind_bwe_tester_mushra.py:1001-1212
+  denoise modes            testing/denoise_and_bwe_tester.py:109-413
+
+All sampling runs on device through the jitted samplers; the tester is a thin
+host loop doing IO, chunking and logging.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+import pickle
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from babe_tpu.diffusion.edm import EDM, EDMParams
+from babe_tpu.ops.filters import design_filter, filter_db_mse
+from babe_tpu.ops.resample import resample
+from babe_tpu.ops.stft import apply_filter, rfftfreq
+from babe_tpu.sampling import degradations as D
+from babe_tpu.sampling.blind import BlindConfig, BlindSampler
+from babe_tpu.sampling.heun import SamplerConfig
+from babe_tpu.utils import logging as ulog
+from babe_tpu.utils.torch_ckpt import fill_variables, load_torch_checkpoint
+
+
+class Tester:
+    def __init__(self, args, model, diff_params: EDM, test_set=None, denoiser=None):
+        self.args = args
+        self.model = model
+        self.test_set = test_set
+        self.denoiser = denoiser  # (model, variables) STFT denoiser or None
+        self.it = 0
+        self.key = jax.random.PRNGKey(int(args.exp.get("seed", 42)) + 1)
+
+        # tester-side diffusion params (reference update_diff_params,
+        # blind_bwe_sampler.py:50-60)
+        tcfg = args.tester
+        if bool(tcfg.diff_params.get("same_as_training", True)):
+            self.edm = diff_params
+        else:
+            self.edm = EDM(EDMParams.from_config(tcfg.diff_params))
+        self.train_edm = diff_params
+
+        self.variables = None
+        self.scfg = SamplerConfig.from_args(args)
+        self.blind_cfg = BlindConfig.from_args(args)
+        self.fs = int(args.exp.sample_rate)
+        self.audio_len = int(args.exp.audio_len)
+        base = os.path.join(str(args.model_dir), "outputs")
+        self.paths = {}
+        for mode in ("unconditional", "bwe", "inpainting", "blind_bwe",
+                     "real_blind_bwe", "complete", "formal", "mushra"):
+            self.paths[mode] = os.path.join(base, mode)
+        self.metrics = ulog.MetricsLogger(base, use_wandb=False,
+                                          config=args.to_dict())
+        self._jit_cache: dict = {}
+
+    # ------------------------------------------------------------- plumbing
+
+    def next_key(self):
+        self.key, k = jax.random.split(self.key)
+        return k
+
+    def load_checkpoint(self, path: str):
+        """Load ours (.ckpt pickle) or reference torch (.pt) checkpoints
+        (reference: blind_bwe_tester.py:238-272 + 7-way legacy loader)."""
+        template = self.model.init(jax.random.PRNGKey(0), batch=1)
+        if path.endswith(".pt"):
+            converted = load_torch_checkpoint(path, prefer="ema")
+            self.variables = fill_variables(template, converted, strict=True)
+        else:
+            with open(path, "rb") as f:
+                payload = pickle.load(f)
+            src = payload.get("ema", payload.get("params"))
+            self.variables = {
+                "params": jax.tree.map(jnp.asarray, src),
+                "buffers": jax.tree.map(jnp.asarray, payload.get("buffers", {})),
+            }
+            self.it = int(payload.get("it", 0))
+        self._jit_cache.clear()
+
+    def set_variables(self, params, buffers, it: int = 0):
+        self.variables = {"params": params, "buffers": buffers}
+        self.it = it
+        self._jit_cache.clear()
+
+    def _denoiser_fn(self):
+        assert self.variables is not None, "load a checkpoint first"
+        v = self.variables
+        return lambda x, sigma: self.edm.denoiser(
+            x, lambda xx, cn: self.model.apply(v, xx, cn), sigma
+        )
+
+    def sampler(self) -> BlindSampler:
+        return BlindSampler(
+            self._denoiser_fn(), self.edm, self.scfg, self.blind_cfg,
+            hpf=getattr(self.model, "apply_hpf_DC", None),
+        )
+
+    def _jitted(self, name: str, fn):
+        if name not in self._jit_cache:
+            self._jit_cache[name] = jax.jit(fn)
+        return self._jit_cache[name]
+
+    # ------------------------------------------------------------- helpers
+
+    def resample_audio(self, seg: np.ndarray, fs: int) -> np.ndarray:
+        """Resample to model fs and crop/pad to audio_len
+        (reference: blind_bwe_tester.py resample_audio)."""
+        seg = np.atleast_2d(np.asarray(seg, dtype=np.float32))
+        if fs != self.fs:
+            seg = np.asarray(resample(jnp.asarray(seg), int(fs), self.fs))
+        if seg.shape[-1] < self.audio_len:
+            seg = np.pad(seg, ((0, 0), (0, self.audio_len - seg.shape[-1])))
+        return seg[..., : self.audio_len]
+
+    def apply_lowpass_fcA(self, seg, params) -> jnp.ndarray:
+        """(reference: blind_bwe_tester.py:700-704)"""
+        nfft = self.blind_cfg.nfft
+        freqs = jnp.asarray(rfftfreq(nfft, self.fs))
+        H = design_filter(jnp.asarray(params[0]), jnp.asarray(params[1]), freqs)
+        return apply_filter(jnp.asarray(seg), H, nfft)
+
+    def _test_filter(self):
+        tf = self.args.tester.blind_bwe.test_filter
+        return np.asarray([np.atleast_1d(tf.fc), np.atleast_1d(tf.A)], dtype=np.float32)
+
+    def _prepare_informed_filter(self, typefilter: str):
+        if typefilter == "fc_A":
+            return self._test_filter(), "fc_A"
+        return D.prepare_filter(self.args, self.fs)
+
+    def _maybe_add_snr_noise(self, y: jnp.ndarray, snr_db) -> jnp.ndarray:
+        """(reference: blind_bwe_tester.py:636-641)"""
+        if snr_db in (None, "None"):
+            return y
+        snr = 10 ** (float(snr_db) / 10)
+        sigma = jnp.sqrt(jnp.var(y, -1, keepdims=True) / snr)
+        return y + sigma * jax.random.normal(self.next_key(), y.shape)
+
+    # ---------------------------------------------------------------- modes
+
+    def sample_unconditional(self):
+        """(reference: blind_bwe_tester.py:306-320)"""
+        ucfg = self.args.tester.unconditional
+        shape = (int(ucfg.num_samples), int(ucfg.audio_len))
+        s = self.sampler()
+        run = self._jitted("uncond", lambda k: s.predict_unconditional(k, shape))
+        preds = np.asarray(run(self.next_key()))
+        ulog.write_audio_file(preds, self.fs, "unconditional", self.paths["unconditional"])
+        return preds
+
+    def test_inpainting(self):
+        """Masked-gap restoration demo (reference: testing/tester.py:242-300)."""
+        if self.test_set is None:
+            print("No test set specified, skipping inpainting test")
+            return None
+        icfg = self.args.tester.inpainting
+        gap = int(float(icfg.gap_length) * self.fs / 1000)
+        gap = min(gap, self.audio_len // 2)  # a gap larger than the segment
+        # would zero the whole observation and degenerate the guidance
+        start = icfg.get("start_gap_idx", None)
+        start = (self.audio_len - gap) // 2 if start in (None, "None") else int(
+            float(start) * self.fs / 1000
+        )
+        mask = np.ones((1, self.audio_len), np.float32)
+        mask[:, start : start + gap] = 0.0
+        mask = jnp.asarray(mask)
+        s = self.sampler()
+        run = self._jitted(
+            "inpaint", lambda k, ym: s.predict_inpainting(k, ym, mask)
+        )
+        outs = []
+        for i in range(len(self.test_set)):
+            original, fs, name = self.test_set[i]
+            seg = jnp.asarray(self.resample_audio(original, fs))
+            pred = run(self.next_key(), seg * mask)
+            outs.append(np.asarray(pred))
+            n = os.path.splitext(name)[0]
+            ulog.write_audio_file(np.asarray(pred), self.fs, n, self.paths["inpainting"])
+        return np.concatenate(outs, 0) if outs else None
+
+    def test_bwe(self, typefilter=None, test_filter_fit=False, compute_sweep=False):
+        """Informed BWE over the test set (reference: blind_bwe_tester.py:582-694)."""
+        if self.test_set is None:
+            print("No test set specified, skipping bwe test")
+            return None
+        typefilter = typefilter or self.args.tester.bandwidth_extension.filter.type
+        filt, ftype = self._prepare_informed_filter(typefilter)
+        s = self.sampler()
+        run = self._jitted(
+            f"bwe_{ftype}", lambda k, y: s.predict_bwe(k, y, filt, ftype)
+        )
+        outs = []
+        for i in range(len(self.test_set)):
+            original, fs, name = self.test_set[i]
+            n = os.path.splitext(name)[0]
+            seg = jnp.asarray(self.resample_audio(original, fs))
+            if ftype == "fc_A":
+                y = self.apply_lowpass_fcA(seg, filt)
+            else:
+                y = D.degradation_from_filter(filt, ftype)(seg)
+            y = self._maybe_add_snr_noise(
+                y, self.args.tester.blind_bwe.get("SNR_observations", "None")
+            )
+            pred = np.asarray(run(self.next_key(), y))
+            outs.append(pred)
+            ulog.write_audio_file(np.asarray(seg), self.fs, n, self.paths["bwe"] + "_original")
+            ulog.write_audio_file(np.asarray(y), self.fs, n, self.paths["bwe"] + "_degraded")
+            ulog.write_audio_file(pred, self.fs, n, self.paths["bwe"] + "_reconstructed")
+        return np.concatenate(outs, 0) if outs else None
+
+    def test_blind_bwe(self, typefilter="fc_A", compute_sweep=False):
+        """Synthetic blind BWE (reference: blind_bwe_tester.py:1037-1224)."""
+        if self.test_set is None:
+            print("No test set specified, skipping blind bwe test")
+            return None
+        bb = self.args.tester.blind_bwe
+        da_filter = self._test_filter()
+        s = self.sampler()
+        run = self._jitted(
+            "blind_bwe", lambda k, y: s.predict_blind_bwe(k, y, rid=True)
+        )
+        results = []
+        for i in range(len(self.test_set)):
+            original, fs, name = self.test_set[i]
+            n = os.path.splitext(name)[0]
+            seg = jnp.asarray(self.resample_audio(original, fs))
+            # gain normalization (reference :1081-1091)
+            sn = bb.get("sigma_norm", "None")
+            if sn not in (None, "None"):
+                seg = float(sn) * seg / jnp.std(seg, -1, keepdims=True)
+            gain = float(bb.get("gain_boost", 0) or 0)
+            if gain != 0:
+                seg = seg * 10 ** (gain / 20)
+            y = self.apply_lowpass_fcA(seg, da_filter)
+            y = self._maybe_add_snr_noise(y, bb.get("SNR_observations", "None"))
+            pred, est_params, dens, t, filts = run(self.next_key(), y)
+            y_est = self.apply_lowpass_fcA(seg, est_params)
+            dbmse = float(
+                filter_db_mse(
+                    jnp.asarray(da_filter), est_params,
+                    jnp.asarray(rfftfreq(self.blind_cfg.nfft, self.fs)),
+                )
+            )
+            self.metrics.log(
+                {"mode": "blind_bwe", "item": n, "filter_db_mse": dbmse,
+                 "fc_est": np.asarray(est_params[0]).tolist(),
+                 "A_est": np.asarray(est_params[1]).tolist()},
+                step=i,
+            )
+            for tag, audio in (("original", seg), ("degraded", y),
+                               ("reconstructed", pred), ("estimate", y_est)):
+                ulog.write_audio_file(np.asarray(audio), self.fs, n,
+                                      self.paths["blind_bwe"] + "_" + tag)
+            ulog.save_trajectory(self.paths["blind_bwe"], n + "_rid",
+                                 denoised=dens, t=t, filters=filts)
+            results.append((np.asarray(pred), np.asarray(est_params)))
+        return results
+
+    def test_real_blind_bwe(self, typefilter="fc_A", compute_sweep=False):
+        """Blind BWE on real recordings (reference: blind_bwe_tester.py:871-1035)."""
+        bb = self.args.tester.blind_bwe
+        path = str(bb.real_recordings.path)
+        files = sorted(_glob.glob(os.path.join(path, "*.wav")))
+        files = files[: int(bb.real_recordings.num_samples)]
+        if not files:
+            print("no real recordings found, skipping")
+            return None
+        from babe_tpu.data.wavio import read_wav, to_mono
+
+        s = self.sampler()
+        run = self._jitted(
+            "blind_bwe", lambda k, y: s.predict_blind_bwe(k, y, rid=True)
+        )
+        results = []
+        for i, f in enumerate(files):
+            d, fs = read_wav(f)
+            n = os.path.splitext(os.path.basename(f))[0] + typefilter
+            seg = jnp.asarray(self.resample_audio(to_mono(d), fs))
+            sn = bb.get("sigma_norm", "None")
+            if sn not in (None, "None"):
+                seg = float(sn) * seg / jnp.std(seg, -1, keepdims=True)
+            pred, est_params, dens, t, filts = run(self.next_key(), seg)
+            ulog.write_audio_file(np.asarray(seg), self.fs, n,
+                                  self.paths["real_blind_bwe"] + "_degraded")
+            ulog.write_audio_file(np.asarray(pred), self.fs, n,
+                                  self.paths["real_blind_bwe"] + "_reconstructed")
+            ulog.save_trajectory(self.paths["real_blind_bwe"], n + "_rid",
+                                 denoised=dens, t=t, filters=filts)
+            self.metrics.log({"mode": "real_blind_bwe", "item": n,
+                              "fc_est": np.asarray(est_params[0]).tolist(),
+                              "A_est": np.asarray(est_params[1]).tolist()}, step=i)
+            results.append((np.asarray(pred), np.asarray(est_params)))
+        return results
+
+    # ------------------------------------------- long-form (AR / OLA) modes
+
+    def _ar_loop(self, degraded: np.ndarray, est_filter, ftype: str):
+        """AR-chunked informed BWE over a full recording
+        (reference: blind_bwe_tester.py:786-867)."""
+        cr = self.args.tester.complete_recording
+        segL = self.audio_len
+        overlap = int(float(cr.overlap) * self.fs)
+        discard_end = 200
+        s = self.sampler()
+        run_first = self._jitted(
+            f"ar_first_{ftype}",
+            lambda k, y: s.predict_bwe(k, y, est_filter, ftype),
+        )
+        smooth = 50 if bool(cr.get("inpaint_DC", False)) else 0
+        mask = np.ones((1, segL), np.float32)
+        mask[:, overlap:] = 0
+        mask = jnp.asarray(mask)
+        run_ar = self._jitted(
+            f"ar_step_{ftype}",
+            lambda k, y, ym: s.predict_bwe_AR(
+                k, y, ym, est_filter, ftype, mask, smooth_mask_size=smooth
+            ),
+        )
+        L = degraded.shape[-1]
+        final = np.zeros_like(degraded)
+        ix = 0
+        seg = jnp.asarray(degraded[..., :segL])
+        pred = np.asarray(run_first(self.next_key(), seg))
+        prev = pred[..., : segL - discard_end]
+        final[..., : segL - discard_end] = prev
+        ix += segL - overlap - discard_end
+        while ix < L - segL - discard_end:
+            y_masked = np.zeros((1, segL), np.float32)
+            y_masked[..., :overlap] = prev[..., segL - overlap - discard_end :]
+            seg = jnp.asarray(degraded[..., ix : ix + segL])
+            pred = np.asarray(run_ar(self.next_key(), seg, jnp.asarray(y_masked)))
+            prev = pred[..., : segL - discard_end]
+            final[..., ix : ix + segL - discard_end] = prev
+            ix += segL - overlap - discard_end
+        # last (possibly short) segment, zero-padded (reference :840-860)
+        seg = degraded[..., ix:]
+        y_masked = np.zeros((1, segL), np.float32)
+        y_masked[..., :overlap] = pred[..., -overlap:]
+        last_mask = np.asarray(mask).copy()
+        if seg.shape[-1] < segL:
+            seg_zp = np.pad(seg, ((0, 0), (0, segL - seg.shape[-1])))
+            y_masked[..., seg.shape[-1] :] = seg_zp[..., seg.shape[-1] :]
+            last_mask[..., seg.shape[-1] :] = 0
+        else:
+            seg_zp = seg[..., :segL]
+        # convert outside the traced lambda: constants created inside a trace
+        # are tracers and would break the host-side mask feathering
+        last_mask_j = jnp.asarray(last_mask)
+        run_last = jax.jit(
+            lambda k, y, ym: s.predict_bwe_AR(
+                k, y, ym, est_filter, ftype, last_mask_j,
+                smooth_mask_size=smooth,
+            )
+        )
+        pred = np.asarray(run_last(self.next_key(), jnp.asarray(seg_zp),
+                                   jnp.asarray(y_masked)))
+        final[..., ix:] = pred[..., : seg.shape[-1]]
+        return final
+
+    def test_real_blind_bwe_complete(self, typefilter="fc_A", use_denoiser=None):
+        """Whole-recording restoration: (optional denoise) -> normalize ->
+        blind filter estimate on segments -> AR-chunked informed BWE
+        (reference: blind_bwe_tester.py:710-868,
+        denoise_and_bwe_tester.py:248-413)."""
+        from babe_tpu.data.wavio import read_wav, to_mono
+
+        cr = self.args.tester.complete_recording
+        filename = str(cr.path)
+        d, fs = read_wav(filename)
+        degraded = np.atleast_2d(to_mono(d)).astype(np.float32)
+        if fs != self.fs:
+            degraded = np.asarray(resample(jnp.asarray(degraded), fs, self.fs))
+
+        if use_denoiser is None:
+            use_denoiser = bool(cr.get("use_denoiser", False))
+        if use_denoiser and self.denoiser is not None:
+            degraded = np.asarray(self.apply_denoiser(jnp.asarray(degraded)))
+
+        std = degraded.std(-1, keepdims=True)
+        target_std = float(cr.get("std", 0.1))
+        degraded = target_std * degraded / std
+
+        snr_extra = cr.get("SNR_extra_noise", "None")
+        if snr_extra not in (None, "None"):
+            snr = 10 ** (float(snr_extra) / 10)
+            sigma = np.sqrt(target_std**2 / snr)
+            degraded = degraded + sigma * np.random.default_rng(0).standard_normal(
+                degraded.shape
+            ).astype(np.float32)
+
+        segL = self.audio_len
+        ix_first = int(self.fs * float(cr.get("ix_start", 0)))
+        nseg = int(cr.get("n_segments_blindstep", 1))
+        rng = np.random.default_rng(0)
+        ys = [degraded[..., ix_first : ix_first + segL]]
+        for _ in range(nseg - 1):
+            ix = int(rng.integers(0, degraded.shape[-1] - segL))
+            ys.append(degraded[..., ix : ix + segL])
+        y = jnp.asarray(np.concatenate(ys, axis=0))
+
+        s = self.sampler()
+        run_blind = self._jitted(
+            f"blind_n{y.shape[0]}", lambda k, yy: s.predict_blind_bwe(k, yy)
+        )
+        _, est_filter = run_blind(self.next_key(), y)
+        est_filter = np.asarray(est_filter)
+        self.metrics.log({"mode": "complete", "fc_est": est_filter[0].tolist(),
+                          "A_est": est_filter[1].tolist()})
+
+        final = self._ar_loop(degraded, jnp.asarray(est_filter), "fc_A")
+        final = final * std / target_std
+        n = os.path.splitext(os.path.basename(filename))[0] + typefilter
+        out = ulog.write_audio_file(final, self.fs, n + ".reconstructed",
+                                    self.paths["complete"])
+        return final, est_filter
+
+    def formal_test_bwe(self, typefilter=None, blind=False, robustness=False):
+        """Directory batch evaluation with OLA cross-fade or AR continuation,
+        idempotent resume (reference: blind_bwe_tester.py:321-578)."""
+        from babe_tpu.data.wavio import read_wav, to_mono
+
+        ft = self.args.tester.formal_test
+        typefilter = typefilter or self.args.tester.bandwidth_extension.filter.type
+        filt, ftype = self._prepare_informed_filter(typefilter)
+        if robustness:
+            rf = ft.robustness_filter
+            from babe_tpu.ops.fir import get_FIR_lowpass
+
+            filt = get_FIR_lowpass(int(rf.order), float(rf.fc), float(rf.beta), self.fs)
+            ftype = "firwin"
+        filenames = sorted(_glob.glob(os.path.join(str(ft.path), "*.wav")))
+        path_out = str(ft.folder)
+        os.makedirs(path_out, exist_ok=True)
+        segL = self.audio_len
+        discard_end = 200
+        use_ar = bool(ft.get("use_AR", False))
+        OLA = int(ft.get("OLA", 2048))
+        s = self.sampler()
+        run_informed = self._jitted(
+            f"formal_{ftype}", lambda k, y: s.predict_bwe(k, y, filt, ftype)
+        )
+        run_blind = self._jitted(
+            "formal_blind", lambda k, y: s.predict_blind_bwe(k, y)
+        )
+        hann = np.hanning(2 * OLA + 1)[:-1].astype(np.float32)  # periodic-ish
+
+        for filename in filenames:
+            n = os.path.splitext(os.path.basename(filename))[0]
+            out_path = os.path.join(path_out, n + ".wav")
+            if os.path.exists(out_path):  # idempotent restart (reference :377-385)
+                continue
+            d, fs = read_wav(filename)
+            Dg = np.atleast_2d(to_mono(d)).astype(np.float32)
+            if ftype == "fc_A":
+                degraded = np.asarray(self.apply_lowpass_fcA(jnp.asarray(Dg), filt))
+            else:
+                degraded = np.asarray(D.degradation_from_filter(filt, ftype)(jnp.asarray(Dg)))
+            if fs != self.fs:
+                degraded = np.asarray(resample(jnp.asarray(degraded), fs, self.fs))
+            L = degraded.shape[-1]
+            if L < segL:
+                continue
+            final = np.zeros_like(degraded)
+            filter_data = []
+
+            def predict(seg_np):
+                seg = jnp.asarray(seg_np)
+                if blind:
+                    pred, est = run_blind(self.next_key(), seg)
+                    filter_data.append((None, np.asarray(est)))
+                    return np.asarray(pred)
+                return np.asarray(run_informed(self.next_key(), seg))
+
+            if use_ar and not blind:
+                final = self._ar_loop(degraded, filt if ftype == "fc_A" else jnp.asarray(filt), ftype)
+            else:
+                ix = 0
+                pred = predict(degraded[..., :segL])
+                win = pred[..., : segL - discard_end].copy()
+                win[..., -OLA:] *= hann[OLA:]
+                final[..., : segL - discard_end] = win
+                ix += segL - discard_end - OLA
+                while ix < L - segL - discard_end:
+                    pred = predict(degraded[..., ix : ix + segL])
+                    win = pred[..., : segL - discard_end].copy()
+                    win[..., :OLA] *= hann[:OLA]
+                    win[..., -OLA:] *= hann[OLA:]
+                    final[..., ix : ix + segL - discard_end] += win
+                    ix += segL - discard_end - OLA
+                seg = degraded[..., ix:]
+                seg_zp = (
+                    np.pad(seg, ((0, 0), (0, segL - seg.shape[-1])))
+                    if seg.shape[-1] < segL
+                    else seg[..., :segL]
+                )
+                pred = predict(seg_zp)
+                win = pred[..., : seg.shape[-1]].copy()
+                win[..., :OLA] *= hann[:OLA]
+                final[..., ix:] += win
+
+            ulog.write_audio_file(final, self.fs, n, path_out)
+            if blind:
+                with open(os.path.join(path_out, n + ".filter_data.pkl"), "wb") as f:
+                    pickle.dump(filter_data, f)
+
+    def formal_test_bwe_small(self):
+        """Fixed-length pre-cut wavs, fc_A degradation, filter dB-MSE metric
+        (reference: blind_bwe_tester_small.py:300-430)."""
+        from babe_tpu.data.wavio import read_wav, to_mono
+
+        ft = self.args.tester.formal_test
+        da_filter = self._test_filter()
+        filenames = sorted(_glob.glob(os.path.join(str(ft.path), "*.wav")))
+        path_out = str(ft.folder)
+        os.makedirs(path_out, exist_ok=True)
+        s = self.sampler()
+        run_blind = self._jitted(
+            "formal_blind", lambda k, y: s.predict_blind_bwe(k, y)
+        )
+        freqs = jnp.asarray(rfftfreq(self.blind_cfg.nfft, self.fs))
+        mses = []
+        for i, filename in enumerate(filenames):
+            n = os.path.splitext(os.path.basename(filename))[0]
+            out_path = os.path.join(path_out, n + ".wav")
+            if os.path.exists(out_path):
+                continue
+            d, fs = read_wav(filename)
+            seg = jnp.asarray(self.resample_audio(to_mono(d), fs))
+            y = self.apply_lowpass_fcA(seg, da_filter)
+            pred, est = run_blind(self.next_key(), y)
+            mse = float(filter_db_mse(jnp.asarray(da_filter), est, freqs))
+            mses.append(mse)
+            self.metrics.log({"mode": "formal_small", "item": n,
+                              "filter_db_mse": mse}, step=i)
+            ulog.write_audio_file(np.asarray(pred), self.fs, n, path_out)
+        if mses:
+            print(f"filter dB-MSE mean over {len(mses)} items: {np.mean(mses):.3f}")
+        return mses
+
+    def test_mushra(self):
+        """Generate MUSHRA listening-test stimuli from a recordings dir
+        (reference: blind_bwe_tester_mushra.py:1001-1212): per item writes the
+        reference (degraded) + blind reconstruction stimuli."""
+        from babe_tpu.data.wavio import read_wav, to_mono
+
+        bb = self.args.tester.blind_bwe
+        files = sorted(
+            _glob.glob(os.path.join(str(bb.real_recordings.path), "*.wav"))
+        )[: int(bb.real_recordings.num_samples)]
+        s = self.sampler()
+        run_blind = self._jitted(
+            "blind_plain", lambda k, y: s.predict_blind_bwe(k, y)
+        )
+        for f in files:
+            d, fs = read_wav(f)
+            n = os.path.splitext(os.path.basename(f))[0]
+            seg = jnp.asarray(self.resample_audio(to_mono(d), fs))
+            sn = bb.get("sigma_norm", "None")
+            std = jnp.std(seg, -1, keepdims=True)
+            if sn not in (None, "None"):
+                seg = float(sn) * seg / std
+            pred, est = run_blind(self.next_key(), seg)
+            if sn not in (None, "None"):
+                pred = pred * std / float(sn)
+                seg = seg * std / float(sn)
+            ulog.write_audio_file(np.asarray(seg), self.fs, n + "_anchor",
+                                  self.paths["mushra"])
+            ulog.write_audio_file(np.asarray(pred), self.fs, n + "_babe",
+                                  self.paths["mushra"])
+
+    # --------------------------------------------------------- denoiser chain
+
+    def apply_denoiser(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Chunked OLA denoising with hamming cross-fade
+        (reference: denoise_and_bwe_tester.py:109-141)."""
+        assert self.denoiser is not None
+        model, variables = self.denoiser
+        return model.apply_chunked_ola(variables, x)
+
+    # ------------------------------------------------------------- dispatch
+
+    def dodajob(self):
+        """(reference: blind_bwe_tester.py:1228-1256)"""
+        modes = list(self.args.tester.modes)
+        results = {}
+        for mode in modes:
+            if mode == "unconditional":
+                results[mode] = self.sample_unconditional()
+            elif mode == "inpainting":
+                results[mode] = self.test_inpainting()
+            elif mode == "bwe":
+                results[mode] = self.test_bwe()
+            elif mode == "blind_bwe":
+                results[mode] = self.test_blind_bwe()
+            elif mode == "real_blind_bwe":
+                results[mode] = self.test_real_blind_bwe()
+            elif mode == "real_blind_bwe_complete":
+                results[mode] = self.test_real_blind_bwe_complete()
+            elif mode == "formal_test_bwe":
+                results[mode] = self.formal_test_bwe(
+                    blind=bool(self.args.tester.formal_test.get("blind", False))
+                )
+            elif mode == "formal_test_bwe_small":
+                results[mode] = self.formal_test_bwe_small()
+            elif mode == "mushra":
+                results[mode] = self.test_mushra()
+            else:
+                raise NotImplementedError(f"tester mode {mode!r}")
+        return results

@@ -1,0 +1,81 @@
+"""Benchmark: audio seconds generated / second / chip at 35-step EDM sampling.
+
+Driving metric from BASELINE.md: unconditional CQTDiff+ sampling of 5-second
+mono 22.05 kHz clips with the 35-step 2nd-order stochastic Heun sampler
+(69 denoiser evaluations).  North-star: > 10x realtime per chip, so
+vs_baseline = realtime_factor / 10.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_args
+    from babe_tpu.diffusion.edm import EDM, EDMParams
+    from babe_tpu.models.cqtdiff import CQTDiffPlus
+    from babe_tpu.sampling.heun import Sampler, SamplerConfig
+
+    fs = 22050
+    seconds = 5.0
+    audio_len = int(fs * seconds)
+    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    T = 35
+
+    args = _flagship_args(audio_len=audio_len)
+    model = CQTDiffPlus.from_config(args)
+    variables = model.init(jax.random.PRNGKey(0), batch=1)
+
+    # tester-side diff params (conf/tester/blind_bwe.yaml:55-68)
+    edm = EDM(EDMParams(sigma_data=0.063, sigma_min=1e-4, sigma_max=1.0,
+                        ro=8, ro_train=13, Schurn=20))
+    cfg = SamplerConfig(T=T, order=2, xi=0.0, audio_len=audio_len,
+                        filter_out_cqt_DC_Nyq=True)
+    denoiser = lambda x, sigma: edm.denoiser(
+        x, lambda xx, cn: model.apply(variables, xx, cn), sigma
+    )
+    sampler = Sampler(denoiser, edm, cfg, hpf=model.apply_hpf_DC)
+
+    run = jax.jit(lambda key: sampler.predict_unconditional(key, (batch, audio_len)))
+
+    key = jax.random.PRNGKey(0)
+    t0 = time.time()
+    out = run(key)
+    out.block_until_ready()
+    compile_and_first = time.time() - t0
+
+    n_iters = 3
+    t0 = time.time()
+    for i in range(n_iters):
+        out = run(jax.random.fold_in(key, i))
+    out.block_until_ready()
+    wall = (time.time() - t0) / n_iters
+
+    audio_seconds = batch * seconds
+    rt_factor = audio_seconds / wall
+    result = {
+        "metric": "audio_sec_generated_per_sec_per_chip_35step",
+        "value": round(rt_factor, 3),
+        "unit": "x_realtime",
+        "vs_baseline": round(rt_factor / 10.0, 3),
+    }
+    print(json.dumps(result))
+    print(
+        f"# batch={batch} T={T} wall/iter={wall:.2f}s "
+        f"compile+first={compile_and_first:.1f}s device={jax.devices()[0]}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

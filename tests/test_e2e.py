@@ -1,0 +1,141 @@
+"""End-to-end integration: config tree -> model -> trained-ish ckpt -> tester
+modes (unconditional, bwe, blind_bwe, inpainting, complete recording) on tiny
+shapes — the whole test.py path without the CLI."""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from babe_tpu.config import default_config
+from babe_tpu.data.wavio import write_wav
+from babe_tpu.diffusion.edm import EDM
+from babe_tpu.models.cqtdiff import CQTDiffPlus
+from babe_tpu.testers.tester import Tester
+
+LEN = 4096
+FS = 22050
+
+
+def tiny_overrides(tmp, modes):
+    return [
+        f"model_dir={tmp}",
+        "exp.audio_len=4096",
+        "exp.seed=1",
+        "network.Ns=[8,8,16]",
+        "network.num_dils=[1,1,2]",
+        "network.emb_dim=32",
+        "network.attention_layers=[0,0,0,0]",
+        "network.cqt.num_octs=3",
+        "network.cqt.bins_per_oct=8",
+        "tester.T=4",
+        "tester.blind_bwe.optimization.max_iter=4",
+        "tester.blind_bwe.initial_conditions.fc=[300]",
+        "tester.blind_bwe.initial_conditions.A=[-20]",
+        "tester.blind_bwe.NFFT=512",
+        "tester.unconditional.num_samples=2",
+        "tester.unconditional.audio_len=4096",
+        "tester.inpainting.gap_length=40",
+        f"tester.modes={modes}",
+    ]
+
+
+class TinyTestSet:
+    def __init__(self, n=2):
+        rng = np.random.default_rng(0)
+        self.items = [
+            (rng.standard_normal(LEN).astype(np.float32) * 0.05, FS, f"item{i}.wav")
+            for i in range(n)
+        ]
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i):
+        return self.items[i]
+
+
+@pytest.fixture(scope="module")
+def tester(tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("e2e"))
+    args = default_config(
+        tiny_overrides(tmp, "[unconditional,bwe,blind_bwe,inpainting]")
+    )
+    model = CQTDiffPlus.from_config(args)
+    edm = EDM.from_config(args, cqt_hpf=model.apply_hpf_DC)
+    t = Tester(args, model, edm, test_set=TinyTestSet())
+    variables = model.init(jax.random.PRNGKey(0), batch=1)
+    t.set_variables(variables["params"], variables.get("buffers", {}))
+    return t
+
+
+def test_config_tree_loads():
+    args = default_config([])
+    assert args.network.cqt.num_octs == 7
+    assert args.tester.T == 35
+    assert args.logging.num_sigma_bins == 10
+    assert args.diff_params.sigma_data == 0.063
+    # group swap + dotted override
+    args2 = default_config(["tester=only_uncond", "exp.batch=8"])
+    assert args2.tester.modes == ["unconditional"]
+    assert args2.exp.batch == 8
+
+
+def test_unconditional_mode(tester):
+    preds = tester.sample_unconditional()
+    assert preds.shape == (2, LEN)
+    assert np.all(np.isfinite(preds))
+
+
+def test_bwe_mode(tester):
+    out = tester.test_bwe(typefilter="fc_A")
+    assert out.shape[0] == 2
+    assert np.all(np.isfinite(out))
+
+
+def test_blind_bwe_mode(tester):
+    results = tester.test_blind_bwe()
+    assert len(results) == 2
+    pred, est = results[0]
+    assert np.all(np.isfinite(pred))
+    assert est.shape == (2, 1)
+    # outputs written
+    assert os.path.exists(
+        os.path.join(tester.paths["blind_bwe"] + "_reconstructed", "item0.wav")
+    )
+
+
+def test_inpainting_mode(tester):
+    out = tester.test_inpainting()
+    assert out is not None and np.all(np.isfinite(out))
+
+
+def test_complete_recording(tester, tmp_path):
+    rng = np.random.default_rng(3)
+    rec = rng.standard_normal(LEN * 3).astype(np.float32) * 0.05
+    p = str(tmp_path / "rec.wav")
+    write_wav(p, rec, FS)
+    tester.args.tester.complete_recording["path"] = p
+    tester.args.tester.complete_recording["ix_start"] = 0
+    tester.args.tester.complete_recording["n_segments_blindstep"] = 1
+    tester.args.tester.complete_recording["overlap"] = 1024 / FS
+    final, est = tester.test_real_blind_bwe_complete()
+    assert final.shape[-1] == LEN * 3
+    assert np.all(np.isfinite(final))
+
+
+def test_checkpoint_load_from_trainer_format(tester, tmp_path):
+    import pickle
+
+    payload = {
+        "it": 7,
+        "params": jax.tree.map(np.asarray, tester.variables["params"]),
+        "buffers": jax.tree.map(np.asarray, tester.variables["buffers"]),
+        "ema": jax.tree.map(np.asarray, tester.variables["params"]),
+    }
+    p = str(tmp_path / "w.ckpt")
+    with open(p, "wb") as f:
+        pickle.dump(payload, f)
+    tester.load_checkpoint(p)
+    assert tester.it == 7

@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Training entry point (reference: train.py:13-66, Hydra-style CLI).
+
+Usage:
+    python train.py dset=maestro_allyears network=cqtdiff+ exp=maestro22k_8s \
+        diff_params=edm logging=base_logging exp.batch=4 model_dir=experiments/run1
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+
+def _main(args):
+    import jax
+
+    from babe_tpu.data.datasets import setup_dataset
+    from babe_tpu.diffusion.edm import EDM
+    from babe_tpu.models.cqtdiff import CQTDiffPlus
+    from babe_tpu.parallel.mesh import make_mesh
+    from babe_tpu.registry import get_obj_by_name
+    from babe_tpu.training.trainer import Trainer
+
+    dirname = str(args.model_dir)
+    os.makedirs(dirname, exist_ok=True)
+    args.exp["model_dir"] = dirname
+
+    dset = setup_dataset(args)
+    model_cls = get_obj_by_name(args.network.callable)
+    model = model_cls.from_config(args)
+    diff_params = EDM.from_config(args, cqt_hpf=model.apply_hpf_DC)
+
+    tester = None
+    if args.get_path("tester.do_test", False):
+        from babe_tpu.data.datasets import setup_dataset_test
+        from babe_tpu.testers.tester import Tester
+
+        test_set = None
+        if args.get_path("dset.test.callable", None):
+            test_set = setup_dataset_test(args)
+        tester = Tester(args, model, diff_params, test_set=test_set)
+
+    n_batch = int(args.exp.batch)
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev if n_batch % n_dev == 0 else 1)
+    print(f"training on {mesh.devices.size} device(s), batch {n_batch}")
+    trainer = Trainer(args, dset, model, diff_params, tester=tester, mesh=mesh)
+    print(f"total params: {trainer.total_params/1e6:.2f} M")
+    trainer.training_loop()
+
+
+def main():
+    from babe_tpu.config import default_config
+
+    args = default_config(sys.argv[1:])
+    _main(args)
+
+
+if __name__ == "__main__":
+    main()
