@@ -43,7 +43,9 @@ INIT_ZERO = 1e-7  # 'init_zero' (:600)
 
 
 class Linear(nn.Module):
-    """torch-compatible Linear with EDM init (networks/cqtdiff+.py:27-40)."""
+    """torch-compatible Linear with EDM init (networks/cqtdiff+.py:27-40).
+    Params are fp32; compute follows the input dtype (the reference casts
+    weights to x.dtype the same way, networks/cqtdiff+.py:37)."""
 
     features: int
     use_bias: bool = True
@@ -53,10 +55,10 @@ class Linear(nn.Module):
     def __call__(self, x):
         k = self.param("kernel", kaiming_uniform(self.init_weight),
                        (x.shape[-1], self.features))
-        y = x @ k
+        y = x @ k.astype(x.dtype)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
-            y = y + b
+            y = y + b.astype(x.dtype)
         return y
 
 
@@ -80,6 +82,8 @@ class Conv2d(nn.Module):
             use_bias=self.use_bias,
             kernel_init=kaiming_uniform(self.init_weight),
             bias_init=nn.initializers.zeros,
+            dtype=x.dtype,
+            param_dtype=jnp.float32,
             name="conv",
         )
         return conv(x)
@@ -104,6 +108,8 @@ class Conv1d(nn.Module):
             use_bias=self.use_bias,
             kernel_init=kaiming_uniform(self.init_weight),
             bias_init=nn.initializers.zeros,
+            dtype=x.dtype,
+            param_dtype=jnp.float32,
             name="conv",
         )
         return conv(x)
@@ -321,31 +327,27 @@ _RESAMPLE_KERNELS = {
 }
 
 
-def _conv_time(x2d: jnp.ndarray, w: jnp.ndarray, stride: int, lhs_dilation: int,
-               pad: tuple[int, int]) -> jnp.ndarray:
-    return jax.lax.conv_general_dilated(
-        x2d[:, None, :], w.reshape(1, 1, -1), window_strides=(stride,),
-        padding=[pad], lhs_dilation=(lhs_dilation,),
-        dimension_numbers=("NCH", "OIH", "NCH"),
-    )[:, 0, :]
-
-
 def resample_time(x: jnp.ndarray, up: bool, kernel: str = "cubic") -> jnp.ndarray:
     """Anti-aliased x2 time resampling with reflect padding
     (networks/cqtdiff+.py:522-580, UpDownResample mode 'T').
 
-    Input (B, F, T, C); filters every (b, f, c) row along T.
+    Input (B, F, T, C); filters every (b, f, c) row along T — realized as a
+    depthwise (1, 8) conv in the native NHWC layout (no transposes).
     Down: reflect-pad 3, correlate k=8 stride 2  -> T/2.
     Up:   reflect-pad 2, zero-stuff (lhs_dilation 2), convolve -> 2T.
     """
-    w = jnp.asarray(_RESAMPLE_KERNELS[kernel])
     B, F, T, C = x.shape
-    xr = jnp.transpose(x, (0, 1, 3, 2)).reshape(-1, T)
-    if not up:
-        xp = jnp.pad(xr, ((0, 0), (3, 3)), mode="reflect")
-        y = _conv_time(xp, w, stride=2, lhs_dilation=1, pad=(0, 0))
-    else:
-        xp = jnp.pad(xr, ((0, 0), (2, 2)), mode="reflect")
-        y = _conv_time(xp, w[::-1], stride=1, lhs_dilation=2, pad=(0, 0))
-    Tn = y.shape[-1]
-    return jnp.transpose(y.reshape(B, F, C, Tn), (0, 1, 3, 2))
+    w = jnp.asarray(_RESAMPLE_KERNELS[kernel], dtype=x.dtype)
+    if up:
+        w = w[::-1]
+    rhs = jnp.broadcast_to(w.reshape(1, -1, 1, 1), (1, w.shape[0], 1, C))
+    pad_t = 3 if not up else 2
+    xp = jnp.pad(x, ((0, 0), (0, 0), (pad_t, pad_t), (0, 0)), mode="reflect")
+    return jax.lax.conv_general_dilated(
+        xp, rhs,
+        window_strides=(1, 2) if not up else (1, 1),
+        padding=[(0, 0), (0, 0)],
+        lhs_dilation=(1, 1) if not up else (1, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=C,
+    )

@@ -190,8 +190,12 @@ class CQTDiffPlus:
         )
 
     @classmethod
-    def from_config(cls, args, compute_dtype=jnp.float32) -> "CQTDiffPlus":
+    def from_config(cls, args, compute_dtype=None) -> "CQTDiffPlus":
         net = args.network
+        if compute_dtype is None:
+            compute_dtype = (
+                jnp.bfloat16 if args.exp.get("use_bf16", False) else jnp.float32
+            )
         win = net.cqt.get("window", "kaiser")
         return cls(
             num_octs=int(net.cqt.num_octs), bins_per_oct=int(net.cqt.bins_per_oct),

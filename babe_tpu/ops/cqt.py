@@ -125,15 +125,17 @@ class CQT:
         half = np.maximum(2, np.round(freqs * ratio * bins_per_hz / 2.0)).astype(int)
         centers = np.round(freqs * bins_per_hz).astype(int)
 
-        # per-octave time resolution: pow2, exact halving across octaves
+        # per-octave time resolution: 5-smooth multiples of 2^(num_octs-1)
+        # (exact halving across octaves, FFT-friendly sizes, and markedly less
+        # oversampling than pow2 rounding: e.g. 5 s @ 22.05 kHz gets M_top 1280
+        # instead of 2048 — a 1.6x reduction of all downstream U-Net compute)
         max_support = [
             int(2 * half[(o + 1) * self.bins_per_oct - 1] + 1)
             for o in range(self.num_octs)
         ]
-        m_top = max(
-            _next_pow2(max_support[o]) << (self.num_octs - 1 - o)
-            for o in range(self.num_octs)
-        )
+        k = self.num_octs - 1
+        need = max(max_support[o] << (k - o) for o in range(self.num_octs))
+        m_top = next_fast_len(-(-need >> k), even=False) << k
         self.M = tuple(m_top >> (self.num_octs - 1 - o) for o in range(self.num_octs))
         for o in range(self.num_octs):
             assert self.M[o] >= max_support[o], "painless condition violated"

@@ -92,22 +92,26 @@ def convert_state_dict(state_dict: Mapping[str, Any]) -> dict:
             insert(buffers, struct + ["embeddings"], arr.reshape(arr.shape[-2:]))
         elif kind == "gamma":
             insert(params, struct + ["gamma"], arr.reshape(-1))
+        elif kind == "fembeddings":
+            # denoiser AddFreqEncoding table (networks/denoiser.py:134-169)
+            insert(params, struct[:-1] + ["freq_encoding_fembeddings"], arr)
         elif kind == "weight":
             if struct and struct[-1] == "relative_attention_bias":
                 insert(params, struct[:-1] + ["relative_attention_bias"], arr)
+            elif arr.ndim == 4 and struct and "tconv" in struct[-1]:
+                # ConvTranspose2d (in,out,kh,kw) -> flax transpose_kernel
+                # layout (kh,kw,out,in)
+                insert(params, struct + ["kernel"], arr.transpose(2, 3, 1, 0))
             elif arr.ndim == 4:
-                insert(params, struct + ["conv", "kernel"], arr.transpose(2, 3, 1, 0))
+                insert(params, struct + ["kernel"], arr.transpose(2, 3, 1, 0))
             elif arr.ndim == 3:
-                insert(params, struct + ["conv", "kernel"], arr.transpose(2, 1, 0))
+                insert(params, struct + ["kernel"], arr.transpose(2, 1, 0))
             elif arr.ndim == 2:
                 insert(params, struct + ["kernel"], arr.transpose(1, 0))
             else:
                 raise ValueError(f"unexpected weight rank for {key}: {arr.shape}")
         elif kind == "bias":
-            if struct and struct[-1] == "conv":
-                insert(params, struct + ["bias"], arr)
-            elif arr.ndim == 1:
-                # conv biases attach under the nested 'conv' module
+            if arr.ndim == 1:
                 insert(params, struct + ["bias"], arr)
             else:
                 raise ValueError(f"unexpected bias rank for {key}: {arr.shape}")
@@ -144,6 +148,25 @@ def fill_variables(template: Mapping, converted: Mapping, strict: bool = True) -
     for coll in ("params", "buffers"):
         if coll in converted:
             cflat.update(_tree_paths({coll: converted[coll]}))
+
+    # our CQTDiff Conv wrappers nest an extra 'conv' module level; remap
+    # converted paths onto the template accordingly
+    remapped = {}
+    for path, val in cflat.items():
+        if path in tflat:
+            remapped[path] = val
+            continue
+        alt = path[:-1] + ("conv", path[-1])
+        if alt in tflat:
+            remapped[alt] = val
+            continue
+        if len(path) >= 3:  # merged module names ('finalblock','conv2') ->
+            alt2 = path[:-3] + (path[-3] + "_" + path[-2], path[-1])
+            if alt2 in tflat:
+                remapped[alt2] = val
+                continue
+        remapped[path] = val
+    cflat = remapped
 
     missing = sorted(set(map(str, tflat)) - set(map(str, cflat)))
     extra = sorted(set(map(str, cflat)) - set(map(str, tflat)))
