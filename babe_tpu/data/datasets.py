@@ -264,18 +264,38 @@ class Batcher:
 
 
 def setup_dataset(args):
-    """Factory mirroring utils/setup.py:10-34."""
+    """Factory mirroring utils/setup.py:10-34.
+
+    Uses the native C++ loader (babe_tpu/native) for file-list datasets
+    (folder / MAESTRO) unless ``dset.native_loader: false``; stem-mixing and
+    overfit modes stay on the Python path.
+    """
     from babe_tpu.registry import get_obj_by_name
 
     dcfg = args.dset
     cls = get_obj_by_name(dcfg.callable)
     overfit = bool(args.get_path("dset.overfit", False))
-    if getattr(cls, "yields_fs", False) or cls is MaestroDatasetFs:
+    yields_fs = getattr(cls, "yields_fs", False) or cls is MaestroDatasetFs
+    if yields_fs:
         ds = cls(dcfg, overfit=overfit)
     else:
         ds = cls(dcfg, fs=int(args.exp.sample_rate) * int(args.exp.get("resample_factor", 1)),
                  seg_len=int(args.exp.audio_len) * int(args.exp.get("resample_factor", 1)),
                  overfit=overfit)
+
+    use_native = bool(dcfg.get("native_loader", True)) and not overfit
+    files = getattr(ds, "files", None)
+    if use_native and files:
+        try:
+            from babe_tpu.native import NativeLoader
+
+            return NativeLoader(
+                list(files), seg_len=int(ds.seg_len), batch=int(args.exp.batch),
+                n_threads=int(dcfg.get("loader_threads", 4)),
+                seed=int(args.exp.get("seed", 42)), yield_fs=yields_fs,
+            )
+        except (RuntimeError, OSError) as e:
+            print(f"native loader unavailable ({e}); falling back to Python IO")
     return Batcher(ds, int(args.exp.batch))
 
 
