@@ -197,26 +197,52 @@ class BlindSampler(Sampler):
                 score = (x_dc - x_hat) / t_cur**2
             return score, params, x_den_d, key
 
-        def step(carry, inp):
-            x, params, key = carry
-            t_i, t_ip1, g = inp
-            key, k_eps = jax.random.split(key)
-            t_hat = t_i + g * t_i
-            eps = jax.random.normal(k_eps, x.shape)
-            x_hat = x + jnp.sqrt(jnp.clip(t_hat**2 - t_i**2, 0.0)) * eps
-            score, params, x_den, key = stage(x_hat, t_hat, params, key)
-            d = -t_hat * score
-            h = t_ip1 - t_hat
-            if cfg.order == 2:
-                x_prime = x_hat + h * d
-                score2, params, _, key = stage(x_prime, t_ip1, params, key)
-                x_new = x_hat + h * 0.5 * (d + (-t_ip1 * score2))
-            else:
-                x_new = x_hat + h * d
-            return (x_new, params, key), (x_den, params) if rid else None
+        if cfg.order == 2:
+            # predictor/corrector as 2 half-steps with ONE stage() per scan
+            # body (see heun.py — halves the compiled program size)
+            def half_step(carry, inp):
+                x, x_hat, d1, params, key = carry
+                t_i, t_ip1, g, phase0 = inp
+                key, k_eps = jax.random.split(key)
+                t_hat = t_i + g * t_i
+                eps = jax.random.normal(k_eps, x.shape)
+                x_hat_new = x + jnp.sqrt(jnp.clip(t_hat**2 - t_i**2, 0.0)) * eps
+                h = t_ip1 - t_hat
+                x_prime = x_hat + h * d1
+                x_eval = jnp.where(phase0, x_hat_new, x_prime)
+                t_eval = jnp.where(phase0, t_hat, t_ip1)
+                sc, params, x_den, key = stage(x_eval, t_eval, params, key)
+                d = -t_eval * sc
+                d1_new = jnp.where(phase0, d, d1)
+                x_hat_out = jnp.where(phase0, x_hat_new, x_hat)
+                x_new = jnp.where(phase0, x, x_hat + h * 0.5 * (d1 + d))
+                out = (x_den, params) if rid else None
+                return (x_new, x_hat_out, d1_new, params, key), out
 
-        inps = (t[:-2], t[1:-1], gamma[:-2])
-        (x, params, key), ys = jax.lax.scan(step, (x, params0, key), inps)
+            n = cfg.T - 1
+            rep = lambda a: jnp.repeat(a, 2)
+            inps = (
+                rep(t[:-2]), rep(t[1:-1]), rep(gamma[:-2]),
+                jnp.tile(jnp.asarray([True, False]), n),
+            )
+            carry = (x, jnp.zeros_like(x), jnp.zeros_like(x), params0, key)
+            (x, _, _, params, key), ys = jax.lax.scan(half_step, carry, inps)
+            if rid:
+                ys = jax.tree.map(lambda a: a[::2], ys)
+        else:
+            def step(carry, inp):
+                x, params, key = carry
+                t_i, t_ip1, g = inp
+                key, k_eps = jax.random.split(key)
+                t_hat = t_i + g * t_i
+                eps = jax.random.normal(k_eps, x.shape)
+                x_hat = x + jnp.sqrt(jnp.clip(t_hat**2 - t_i**2, 0.0)) * eps
+                score, params, x_den, key = stage(x_hat, t_hat, params, key)
+                x_new = x_hat + (t_ip1 - t_hat) * (-t_hat * score)
+                return (x_new, params, key), (x_den, params) if rid else None
+
+            inps = (t[:-2], t[1:-1], gamma[:-2])
+            (x, params, key), ys = jax.lax.scan(step, (x, params0, key), inps)
 
         # final step: t_{i+1} == 0, 1st-order Euler (never evaluate at sigma=0)
         t_last, g_last = t[cfg.T - 1], gamma[cfg.T - 1]

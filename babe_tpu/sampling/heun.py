@@ -161,28 +161,54 @@ class Sampler:
 
         score = partial(self._score, y=y, degradation=degradation)
 
-        def step(carry, inp):
-            x, key = carry
-            t_i, t_ip1, g = inp
-            key, k_eps = jax.random.split(key)
-            t_hat = t_i + g * t_i
-            eps = jax.random.normal(k_eps, x.shape) * cfg.snoise
-            x_hat = x + jnp.sqrt(jnp.clip(t_hat**2 - t_i**2, 0.0)) * eps
-            sc = score(x_hat, t_hat)
-            d = -t_hat * sc
-            h = t_ip1 - t_hat
-            if cfg.order == 2:
-                x_prime = x_hat + h * d
-                d_prime = -t_ip1 * score(x_prime, t_ip1)
-                x_new = x_hat + h * 0.5 * (d + d_prime)
-            else:
-                x_new = x_hat + h * d
-            out = (sc * t_hat**2 + x_hat) if rid else None
-            return (x_new, key), out
+        if cfg.order == 2:
+            # Predictor/corrector unrolled into 2 half-steps per scan iteration
+            # so the body instantiates the (expensive) score evaluation ONCE —
+            # halves the compiled program size vs. two call sites.
+            def half_step(carry, inp):
+                x, x_hat, d1, key = carry
+                t_i, t_ip1, g, phase0 = inp
+                key, k_eps = jax.random.split(key)
+                t_hat = t_i + g * t_i
+                eps = jax.random.normal(k_eps, x.shape) * cfg.snoise
+                x_hat_new = x + jnp.sqrt(jnp.clip(t_hat**2 - t_i**2, 0.0)) * eps
+                h = t_ip1 - t_hat
+                x_prime = x_hat + h * d1
+                x_eval = jnp.where(phase0, x_hat_new, x_prime)
+                t_eval = jnp.where(phase0, t_hat, t_ip1)
+                sc = score(x_eval, t_eval)
+                d = -t_eval * sc
+                d1_new = jnp.where(phase0, d, d1)
+                x_hat_out = jnp.where(phase0, x_hat_new, x_hat)
+                x_new = jnp.where(phase0, x, x_hat + h * 0.5 * (d1 + d))
+                out = (sc * t_eval**2 + x_eval) if rid else None
+                return (x_new, x_hat_out, d1_new, key), out
 
-        # steps 0..T-2 in the scan; the final step (t=0) is 1st-order Euler
-        inps = (t[:-2], t[1:-1], gamma[:-2])
-        (x, key), denoised = jax.lax.scan(step, (x, key), inps)
+            n = cfg.T - 1
+            rep = lambda a: jnp.repeat(a, 2)
+            inps = (
+                rep(t[:-2]), rep(t[1:-1]), rep(gamma[:-2]),
+                jnp.tile(jnp.asarray([True, False]), n),
+            )
+            carry = (x, jnp.zeros_like(x), jnp.zeros_like(x), key)
+            (x, _, _, key), denoised = jax.lax.scan(half_step, carry, inps)
+            if rid:
+                denoised = denoised[::2]
+        else:
+            def step(carry, inp):
+                x, key = carry
+                t_i, t_ip1, g = inp
+                key, k_eps = jax.random.split(key)
+                t_hat = t_i + g * t_i
+                eps = jax.random.normal(k_eps, x.shape) * cfg.snoise
+                x_hat = x + jnp.sqrt(jnp.clip(t_hat**2 - t_i**2, 0.0)) * eps
+                sc = score(x_hat, t_hat)
+                x_new = x_hat + (t_ip1 - t_hat) * (-t_hat * sc)
+                out = (sc * t_hat**2 + x_hat) if rid else None
+                return (x_new, key), out
+
+            inps = (t[:-2], t[1:-1], gamma[:-2])
+            (x, key), denoised = jax.lax.scan(step, (x, key), inps)
         t_last = t[cfg.T - 1]
         g_last = gamma[cfg.T - 1]
         key, k_eps = jax.random.split(key)
