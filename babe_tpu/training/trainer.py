@@ -158,6 +158,23 @@ class Trainer:
         if bool(args.exp.get("resume", False)):
             self._resumed = self.resume_from_checkpoint()
 
+        from babe_tpu.utils.logging import MetricsLogger
+        from babe_tpu.utils.profiling import ScheduledProfiler
+
+        self.metrics_log = MetricsLogger(
+            os.path.join(str(args.model_dir), "train_logs"),
+            use_wandb=bool(args.get_path("exp.wandb.project", None))
+            and bool(args.get_path("logging.log", False)),
+            config=args.to_dict(),
+        )
+        self.profiler = ScheduledProfiler.from_config(args)
+        self._stat_buffer: list[dict] = []
+        # sigma bins for aggregate reporting (reference: trainer.py:156-161)
+        nb = int(args.get_path("logging.num_sigma_bins", 10))
+        self.sigma_bins = np.logspace(
+            np.log10(edm.p.sigma_min), np.log10(edm.p.sigma_max), nb
+        )
+
     # ----------------------------------------------------------- checkpoints
 
     def _ckpt_path(self, it: int) -> str:
@@ -263,19 +280,142 @@ class Trainer:
         self.state, metrics = self._jit_step(self.state, batch, k)
         return metrics
 
+    # ------------------------------------------------------------- logging
+
+    def easy_logging(self, it: int):
+        """Aggregate and emit buffered scalar stats
+        (reference easy_logging: training/trainer.py:441-474)."""
+        if not self._stat_buffer:
+            return
+        losses = np.asarray([m["loss"] for m in self._stat_buffer])
+        gnorms = np.asarray([m["grad_norm"] for m in self._stat_buffer])
+        sums = np.sum([m["sigma_bin_sums"] for m in self._stat_buffer], axis=0)
+        counts = np.sum([m["sigma_bin_counts"] for m in self._stat_buffer], axis=0)
+        per_bin = sums / np.maximum(counts, 1.0)
+        rec = {
+            "loss": float(losses.mean()),
+            "loss_std": float(losses.std()),
+            "grad_norm": float(gnorms.mean()),
+        }
+        for edge, v, c in zip(self.sigma_bins, per_bin, counts):
+            if c > 0:
+                rec[f"error_sigma_{edge:.3g}"] = float(v)
+        self.metrics_log.log(rec, step=it)
+        self._stat_buffer.clear()
+
+    def freq_logging(self, it: int, batch: np.ndarray):
+        """Per-octave CQT energy of the training error — the reference's
+        frequency-binned loss reporting (training/trainer.py:314-361), done
+        on-device with the model's own CQT instead of host librosa."""
+        if not hasattr(self.model, "cqt"):
+            return
+        self.key, k = jax.random.split(self.key)
+
+        def stats(params, buffers, x, key):
+            net = lambda xx, cn: self.model.apply(
+                {"params": params, "buffers": buffers}, xx, cn
+            )
+            err2, sigma = self.edm.loss_fn(key, net, x)
+            err = jnp.sqrt(err2)
+            C = self.model.cqt.fwd(err)
+            return jnp.asarray([jnp.mean(jnp.abs(c)) for c in C])
+
+        fn = self._jit_cache_get("freq_stats", stats)
+        vals = np.asarray(
+            fn(self.state.params, self.state.buffers, jnp.asarray(batch), k)
+        )
+        rec = {f"error_oct_{o}": float(v) for o, v in enumerate(vals)}
+        self.metrics_log.log(rec, step=it)
+
+    def log_feature_stats(self, it: int, batch: np.ndarray):
+        """Per-layer activation statistics via flax capture_intermediates —
+        the surgeon_pytorch equivalent (reference: training/trainer.py:296-312)."""
+        self.key, k1, k2 = jax.random.split(self.key, 3)
+        sigma = self.edm.sample_ptrain_safe(k1, batch.shape[0])[:, None]
+        inp, _, cnoise = self.edm.prepare_train_preconditioning(
+            k2, jnp.asarray(batch), sigma
+        )
+        coeffs = self.model.cqt.fwd(inp)
+        _, interms = self.model.net.apply(
+            {"params": self.state.params, "buffers": self.state.buffers},
+            coeffs, cnoise, capture_intermediates=True, mutable=["intermediates"],
+        )
+        rec = {}
+        flat = jax.tree_util.tree_flatten_with_path(interms)[0]
+        for path, leaf in flat[:200]:
+            name = "/".join(
+                getattr(p, "key", getattr(p, "name", str(p))) for p in path
+            )
+            arr = np.asarray(leaf)
+            if np.iscomplexobj(arr):
+                arr = np.abs(arr)
+            rec[f"feat/{name}/mean"] = float(arr.mean())
+            rec[f"feat/{name}/std"] = float(arr.std())
+        self.metrics_log.log(rec, step=it)
+
+    def heavy_logging(self, it: int):
+        """Run tester demos from the current EMA weights
+        (reference heavy_logging: training/trainer.py:476-523)."""
+        if self.tester is None:
+            return
+        self.tester.set_variables(self.state.ema, self.state.buffers, it=it)
+        try:
+            self.tester.sample_unconditional()
+            modes = list(self.args.get_path("tester.modes", []))
+            if "inpainting" in modes:
+                self.tester.test_inpainting()
+            if "bwe" in modes:
+                self.tester.test_bwe()
+        except Exception as e:
+            print(f"heavy logging demo failed: {e}")
+
+    def _jit_cache_get(self, name, fn):
+        cache = getattr(self, "_aux_jit", None)
+        if cache is None:
+            cache = self._aux_jit = {}
+        if name not in cache:
+            cache[name] = jax.jit(fn)
+        return cache[name]
+
+    # ------------------------------------------------------------ main loop
+
     def training_loop(self, max_its: int | None = None):
         log_cfg = self.args.get("logging", {})
         save_interval = int(log_cfg.get("save_interval", 10000))
         log_interval = int(log_cfg.get("log_interval", 100))
+        heavy_interval = int(log_cfg.get("heavy_log_interval", 50000))
+        freq_interval = int(log_cfg.get("freq_cqt_logging", 0) or 0)
+        feat_interval = (
+            int(log_cfg.get("log_feature_stats_interval", 0))
+            if log_cfg.get("log_feature_stats", False)
+            else 0
+        )
         it0 = int(self.state.it)
         t_start = time.time()
+        last_batch = None
         while max_its is None or int(self.state.it) < max_its:
-            metrics = self.train_step()
+            batch = self.get_batch()
+            last_batch = batch
+            self.key, k = jax.random.split(self.key)
+            sharded = jax.device_put(batch, batch_sharding(self.mesh))
+            self.state, metrics = self._jit_step(self.state, sharded, k)
+            self.profiler.step()
             it = int(self.state.it)
+            self._stat_buffer.append(
+                {k2: np.asarray(v) for k2, v in metrics.items()}
+            )
             if it % log_interval == 0:
                 loss = float(metrics["loss"])
                 rate = (it - it0) / max(time.time() - t_start, 1e-9)
                 print(f"it {it} loss {loss:.5f} it/s {rate:.2f}", flush=True)
+                self.easy_logging(it)
+            if freq_interval and it % freq_interval == 0:
+                self.freq_logging(it, last_batch)
+            if feat_interval and it > 0 and it % feat_interval == 0:
+                self.log_feature_stats(it, last_batch)
             if it > 0 and it % save_interval == 0 and log_cfg.get("save_model", True):
                 self.save_checkpoint()
+            if heavy_interval and it > 0 and it % heavy_interval == 0:
+                self.heavy_logging(it)
+        self.profiler.close()
         return self.state

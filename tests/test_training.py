@@ -50,7 +50,10 @@ def make_args(tmp_path, batch=8):
                 "attention_layers": [0, 0, 0, 0], "attention_dict": None,
             },
             "logging": {"num_sigma_bins": 6, "save_interval": 1000,
-                        "log_interval": 1000, "save_model": False},
+                        "log_interval": 2, "heavy_log_interval": 0,
+                        "freq_cqt_logging": 2, "log_feature_stats": True,
+                        "log_feature_stats_interval": 3, "save_model": False,
+                        "profiling": {"enabled": False}},
         }
     )
 
@@ -119,3 +122,21 @@ def test_ema_moves_toward_params(trainer_setup):
                      tr.state.ema, tr.state.params)
     vals = jax.tree.leaves(d)
     assert all(np.isfinite(vals))
+
+
+def test_training_loop_with_logging(trainer_setup):
+    """Exercises easy_logging, freq_logging and feature-stats capture."""
+    import json
+    import os
+
+    tr = trainer_setup
+    start = int(tr.state.it)
+    tr.training_loop(max_its=start + 4)
+    assert int(tr.state.it) == start + 4
+    log_path = tr.metrics_log.file.name  # test_checkpoint_roundtrip moves model_dir
+    assert os.path.exists(log_path)
+    recs = [json.loads(l) for l in open(log_path)]
+    keys = set().union(*(r.keys() for r in recs))
+    assert "loss" in keys
+    assert any(k.startswith("error_oct_") for k in keys)
+    assert any(k.startswith("feat/") for k in keys)
