@@ -263,14 +263,87 @@ class BlindSampler(Sampler):
 
     # ----------------------------------------------- informed / AR variants
 
-    def predict_bwe(self, key, ylpf, filt, filt_type: str, rid: bool = False):
+    def predict_bwe(self, key, ylpf, filt, filt_type: str, rid: bool = False,
+                    test_filter_fit: bool = False):
         """Informed BWE incl. the fc_A parametric type
-        (reference: blind_bwe_sampler.py:306-364)."""
+        (reference: blind_bwe_sampler.py:306-364).
+
+        With ``test_filter_fit`` the filter optimizer is run diagnostically at
+        every step on the denoised estimates (guidance still uses the fixed
+        known filter) and the trajectory of fitted parameters is returned —
+        (x, data_denoised, t, data_filters) (reference: predict() at
+        blind_bwe_sampler.py:419-465 with test_filter_fit=True)."""
+        if not test_filter_fit:
+            if filt_type == "fc_A":
+                params = jnp.asarray(filt, dtype=jnp.float32)
+                deg = lambda x: self.degradation_fcA(x, params)
+                return self.predict_conditional(key, ylpf, deg, rid=rid)
+            return super().predict_bwe(key, ylpf, filt, filt_type, rid=rid)
+
+        # diagnostic filter tracking alongside informed sampling
         if filt_type == "fc_A":
-            params = jnp.asarray(filt, dtype=jnp.float32)
-            deg = lambda x: self.degradation_fcA(x, params)
-            return self.predict_conditional(key, ylpf, deg, rid=rid)
-        return super().predict_bwe(key, ylpf, filt, filt_type, rid=rid)
+            fixed = jnp.asarray(filt, dtype=jnp.float32)
+            deg = lambda x: self.degradation_fcA(x, fixed)
+        else:
+            deg = D.degradation_from_filter(filt, filt_type)
+        cfg = self.cfg
+        b = self.blind
+        Y = apply_stft(ylpf, b.nfft)
+        fit_init = b.initial_params()
+        if cfg.start_sigma is None:
+            t = self.edm.create_schedule(cfg.T)
+        else:
+            t = self.edm.create_schedule_from_initial_t(cfg.start_sigma, cfg.T)
+        gamma = self.edm.get_gamma(t)
+        key, k0 = jax.random.split(key)
+        x = jax.random.normal(k0, ylpf.shape) * t[0]
+        if cfg.start_sigma is not None:
+            x = ylpf + x
+
+        def half_step(carry, inp):
+            x, x_hat, d1, params, key = carry
+            t_i, t_ip1, g, phase0 = inp
+            key, k_eps = jax.random.split(key)
+            t_hat = t_i + g * t_i
+            x_hat_new = x + jnp.sqrt(jnp.clip(t_hat**2 - t_i**2, 0.0)) * (
+                jax.random.normal(k_eps, x.shape) * cfg.snoise
+            )
+            h = t_ip1 - t_hat
+            x_eval = jnp.where(phase0, x_hat_new, x_hat + h * d1)
+            t_eval = jnp.where(phase0, t_hat, t_ip1)
+            sc = self._score(x_eval, t_eval, y=ylpf, degradation=deg)
+            x_den = sc * t_eval**2 + x_eval
+            params = self.fit_params(
+                apply_stft(jax.lax.stop_gradient(x_den), b.nfft), Y, params
+            )
+            d = -t_eval * sc
+            d1_new = jnp.where(phase0, d, d1)
+            x_hat_out = jnp.where(phase0, x_hat_new, x_hat)
+            x_new = jnp.where(phase0, x, x_hat + h * 0.5 * (d1 + d))
+            return (x_new, x_hat_out, d1_new, params, key), (x_den, params)
+
+        n = cfg.T - 1
+        rep = lambda a: jnp.repeat(a, 2)
+        inps = (rep(t[:-2]), rep(t[1:-1]), rep(gamma[:-2]),
+                jnp.tile(jnp.asarray([True, False]), n))
+        carry = (x, jnp.zeros_like(x), jnp.zeros_like(x), fit_init, key)
+        (x, _, _, params, key), (dens, filts) = jax.lax.scan(half_step, carry, inps)
+        # final Euler step
+        t_last, g_last = t[cfg.T - 1], gamma[cfg.T - 1]
+        key, k_eps = jax.random.split(key)
+        t_hat = t_last + g_last * t_last
+        x_hat = x + jnp.sqrt(jnp.clip(t_hat**2 - t_last**2, 0.0)) * (
+            jax.random.normal(k_eps, x.shape) * cfg.snoise
+        )
+        sc = self._score(x_hat, t_hat, y=ylpf, degradation=deg)
+        x = x_hat + t_hat**2 * sc
+        x_den = sc * t_hat**2 + x_hat
+        params = self.fit_params(
+            apply_stft(jax.lax.stop_gradient(x_den), b.nfft), Y, params
+        )
+        dens = jnp.concatenate([dens[::2], x_den[None]], axis=0)
+        filts = jnp.concatenate([filts[::2], params[None]], axis=0)
+        return x, dens, t, filts
 
     def predict_bwe_AR(self, key, ylpf, y_masked, filt, filt_type: str, mask,
                        smooth_mask_size: int = 0, rid: bool = False):

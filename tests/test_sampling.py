@@ -169,3 +169,15 @@ def test_compute_sweep(edm, rng):
                                    A_s=jnp.linspace(-60, -10, 4))
     assert norms.shape == (5, 4)
     assert grads.shape == (5, 4, 2)
+
+
+def test_informed_bwe_filter_fit_tracking(edm):
+    """Diagnostic filter tracking during informed fc_A sampling."""
+    s = blind_sampler(edm, T=5, max_iter=5)
+    params = jnp.asarray([[2000.0], [-30.0]])
+    y = s.degradation_fcA(jax.random.normal(jax.random.PRNGKey(2), (1, LEN)), params)
+    x, dens, t, filts = s.predict_bwe(jax.random.PRNGKey(3), y, params, "fc_A",
+                                      test_filter_fit=True)
+    assert x.shape == y.shape
+    assert dens.shape[0] == 5 and filts.shape == (5, 2, 1)
+    assert np.all(np.isfinite(np.asarray(filts)))
