@@ -283,6 +283,9 @@ def setup_dataset(args):
                  seg_len=int(args.exp.audio_len) * int(args.exp.get("resample_factor", 1)),
                  overfit=overfit)
 
+    # effective loader batch covers gradient-accumulation rounds
+    # (reference: training/trainer.py:387-398 draws one batch per round)
+    loader_batch = int(args.exp.batch) * int(args.exp.get("num_accumulation_rounds", 1))
     use_native = bool(dcfg.get("native_loader", True)) and not overfit
     files = getattr(ds, "files", None)
     if use_native and files:
@@ -290,13 +293,13 @@ def setup_dataset(args):
             from babe_tpu.native import NativeLoader
 
             return NativeLoader(
-                list(files), seg_len=int(ds.seg_len), batch=int(args.exp.batch),
+                list(files), seg_len=int(ds.seg_len), batch=loader_batch,
                 n_threads=int(dcfg.get("loader_threads", 4)),
                 seed=int(args.exp.get("seed", 42)), yield_fs=yields_fs,
             )
         except (RuntimeError, OSError) as e:
             print(f"native loader unavailable ({e}); falling back to Python IO")
-    return Batcher(ds, int(args.exp.batch))
+    return Batcher(ds, loader_batch)
 
 
 def setup_dataset_test(args):

@@ -176,6 +176,14 @@ class BlindSampler(Sampler):
 
         def stage(x_hat, t_cur, params, key):
             """One guided score evaluation with filter re-fit."""
+            y_obs = y
+            if cfg.snr_observations is not None:
+                # per-stage observation noise for regularization
+                # (reference: blind_bwe_sampler.py:80-86, 542-548)
+                key, kn = jax.random.split(key)
+                snr = 10.0 ** (cfg.snr_observations / 10.0)
+                sig = jnp.sqrt(jnp.var(y, -1, keepdims=True) / snr)
+                y_obs = y + sig * jax.random.normal(kn, y.shape)
             x_den, pullback = jax.vjp(lambda x_: self._denoise(x_, t_cur), x_hat)
             x_den_d = jax.lax.stop_gradient(x_den)
             den_for_fit = x_den_d
@@ -186,7 +194,7 @@ class BlindSampler(Sampler):
                 )
             Xden = apply_stft(den_for_fit, b.nfft)
             params = self.fit_params(Xden, Y, params)
-            g_xden = jax.grad(lambda xd: cfg.norm_fn(y, deg(xd, params)))(x_den)
+            g_xden = jax.grad(lambda xd: cfg.norm_fn(y_obs, deg(xd, params)))(x_den)
             rec = pullback(g_xden)[0]
             normguide = jnp.linalg.norm(rec) / cfg.audio_len**0.5
             s = cfg.xi / (normguide + 1e-6)

@@ -71,6 +71,7 @@ class SamplerConfig:
     xi: float = 0.0
     data_consistency: bool = False
     snoise: float = 1.0
+    snr_observations: float | None = None  # per-stage observation noise (dB)
     start_sigma: float | None = None
     filter_out_cqt_DC_Nyq: bool = True
     norm_fn: Callable = None  # set via make_norm_fn
@@ -89,6 +90,11 @@ class SamplerConfig:
             if not t.diff_params.get("same_as_training", True)
             else float(args.diff_params.get("Snoise", 1.0)),
             start_sigma=None if ss in ("None", None) else float(ss),
+            snr_observations=(
+                None
+                if t.posterior_sampling.get("SNR_observations", "None") in ("None", None)
+                else float(t.posterior_sampling.SNR_observations)
+            ),
             filter_out_cqt_DC_Nyq=bool(t.get("filter_out_cqt_DC_Nyq", True)),
             norm_fn=make_norm_fn(t.posterior_sampling),
             audio_len=int(args.exp.audio_len),

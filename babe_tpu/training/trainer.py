@@ -73,6 +73,8 @@ def make_train_step(model, edm: EDM, optimizer, exp_cfg, num_sigma_bins: int = 1
         jnp.log10(smin), jnp.log10(smax), num_sigma_bins
     )
 
+    num_accum = int(exp_cfg.get("num_accumulation_rounds", 1))
+
     def loss_fn(params, buffers, batch, key):
         net = lambda x, cn: model.apply(
             {"params": params, "buffers": buffers}, x, cn
@@ -81,9 +83,32 @@ def make_train_step(model, edm: EDM, optimizer, exp_cfg, num_sigma_bins: int = 1
         return error2.mean(), (error2, sigma)
 
     def step(state: TrainState, batch, key):
-        (loss, (error2, sigma)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params, state.buffers, batch, key)
+        if num_accum > 1:
+            # gradient accumulation: batch is [rounds*B, T], averaged grads
+            # (reference: training/trainer.py:387-398)
+            rounds = batch.reshape(num_accum, -1, *batch.shape[1:])
+            keys = jax.random.split(key, num_accum)
+
+            def accum(carry, inp):
+                b, k = inp
+                (l, (e2, sig)), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                    state.params, state.buffers, b, k
+                )
+                g_sum, l_sum = carry
+                return (jax.tree.map(jnp.add, g_sum, g), l_sum + l), (e2, sig)
+
+            zeros = jax.tree.map(jnp.zeros_like, state.params)
+            (g_sum, l_sum), (e2s, sigs) = jax.lax.scan(
+                accum, (zeros, 0.0), (rounds, keys)
+            )
+            grads = jax.tree.map(lambda g: g / num_accum, g_sum)
+            loss = l_sum / num_accum
+            error2 = e2s.reshape(-1, *e2s.shape[2:])
+            sigma = sigs.reshape(-1, *sigs.shape[2:])
+        else:
+            (loss, (error2, sigma)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, state.buffers, batch, key)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
 
