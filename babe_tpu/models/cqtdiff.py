@@ -235,3 +235,38 @@ class CQTDiffPlus:
 
     def apply_hpf_DC(self, x):
         return self.cqt.apply_hpf_DC(x)
+
+    def fused_denoiser(self, variables, edm):
+        """EDM denoiser with CQT/hpf FFT sharing.
+
+        Computes hpf_DC(cskip*x + cout*net(cin*x, cnoise)) — exactly the
+        sampler's denoise step when filter_out_cqt_DC_Nyq is on
+        (testing/edm_sampler.py:59-62) — with a single rfft/irfft pair:
+        the analysis spectrum is reused for the skip term and the hpf mask
+        multiplies the synthesis spectrum before the one inverse FFT
+        (saves 2 of 4 length-Ls FFTs per network evaluation, and their vjps).
+        CQT linearity lets cin scale the coefficients directly.
+        """
+        cqt = self.cqt
+        mask = jnp.asarray(cqt._mask)
+
+        def denoiser(x, sigma):
+            sigma = jnp.asarray(sigma)
+            if sigma.ndim == 0:
+                sigma = sigma[None, None]
+            elif sigma.ndim == 1:
+                sigma = sigma[:, None]
+            T = x.shape[-1]
+            cskip, cout = edm.cskip(sigma), edm.cout(sigma)
+            cin, cnoise = edm.cin(sigma), edm.cnoise(sigma)
+            X = cqt.spectrum(x)  # [B, nbins] complex
+            coeffs = tuple(
+                c * cin[..., None].astype(jnp.complex64)
+                for c in cqt.fwd_spectrum(X)
+            )
+            outs = self.net.apply(variables, coeffs, cnoise)
+            Y = cqt.bwd_spectrum(outs)
+            D = (cskip.astype(jnp.complex64) * X + cout.astype(jnp.complex64) * Y)
+            return jnp.fft.irfft(D * mask, n=cqt.Ls, axis=-1)[..., :T]
+
+        return denoiser

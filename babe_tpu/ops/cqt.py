@@ -202,22 +202,29 @@ class CQT:
 
     # ------------------------------------------------------------------ compute
 
-    def fwd(self, x: jnp.ndarray) -> tuple[jnp.ndarray, ...]:
-        """Analysis. x: [..., T] real, T <= audio_len. Returns octaves low->high."""
+    def spectrum(self, x: jnp.ndarray) -> jnp.ndarray:
+        """rfft of the (zero-padded) signal — the shared analysis front end."""
         T = x.shape[-1]
         if T < self.Ls:
             pad = [(0, 0)] * (x.ndim - 1) + [(0, self.Ls - T)]
             x = jnp.pad(x, pad)
-        X = jnp.fft.rfft(x.astype(jnp.float32), axis=-1)  # [..., Ls//2+1]
+        return jnp.fft.rfft(x.astype(jnp.float32), axis=-1)  # [..., Ls//2+1]
+
+    def fwd_spectrum(self, X: jnp.ndarray) -> tuple[jnp.ndarray, ...]:
+        """Analysis from an rfft spectrum (for FFT-sharing fused pipelines)."""
         outs = []
         for p in self._plans:
             sl = X[..., p.idx] * p.w_ana  # [..., bpo, M]
             outs.append(jnp.fft.ifft(sl, axis=-1).astype(jnp.complex64))
         return tuple(outs)
 
-    def bwd(self, coeffs: tuple[jnp.ndarray, ...], length: int | None = None) -> jnp.ndarray:
-        """Synthesis from octave coefficients (lowest octave first)."""
-        length = self.audio_len if length is None else length
+    def fwd(self, x: jnp.ndarray) -> tuple[jnp.ndarray, ...]:
+        """Analysis. x: [..., T] real, T <= audio_len. Returns octaves low->high."""
+        return self.fwd_spectrum(self.spectrum(x))
+
+    def bwd_spectrum(self, coeffs: tuple[jnp.ndarray, ...]) -> jnp.ndarray:
+        """Synthesis up to (but not including) the final irfft — returns the
+        reconstructed rfft spectrum (for FFT-sharing fused pipelines)."""
         assert len(coeffs) == self.num_octs
         batch_shape = coeffs[0].shape[:-2]
         vals = []
@@ -226,7 +233,12 @@ class CQT:
             vals.append(sl.reshape(*batch_shape, -1))
         flat = jnp.concatenate(vals, axis=-1)
         Y = jnp.zeros((*batch_shape, self.Ls // 2 + 1), dtype=jnp.complex64)
-        Y = Y.at[..., self._scatter_idx].add(flat)
+        return Y.at[..., self._scatter_idx].add(flat)
+
+    def bwd(self, coeffs: tuple[jnp.ndarray, ...], length: int | None = None) -> jnp.ndarray:
+        """Synthesis from octave coefficients (lowest octave first)."""
+        length = self.audio_len if length is None else length
+        Y = self.bwd_spectrum(coeffs)
         x = jnp.fft.irfft(Y, n=self.Ls, axis=-1)
         return x[..., :length]
 

@@ -107,15 +107,17 @@ class Tester:
     def _denoiser_fn(self):
         assert self.variables is not None, "load a checkpoint first"
         v = self.variables
-        return lambda x, sigma: self.edm.denoiser(
+        if self.scfg.filter_out_cqt_DC_Nyq and hasattr(self.model, "fused_denoiser"):
+            # hpf folded into the denoiser's spectrum pass (2 FFTs saved/eval)
+            return self.model.fused_denoiser(v, self.edm), None
+        den = lambda x, sigma: self.edm.denoiser(
             x, lambda xx, cn: self.model.apply(v, xx, cn), sigma
         )
+        return den, getattr(self.model, "apply_hpf_DC", None)
 
     def sampler(self) -> BlindSampler:
-        return BlindSampler(
-            self._denoiser_fn(), self.edm, self.scfg, self.blind_cfg,
-            hpf=getattr(self.model, "apply_hpf_DC", None),
-        )
+        den, hpf = self._denoiser_fn()
+        return BlindSampler(den, self.edm, self.scfg, self.blind_cfg, hpf=hpf)
 
     def _jitted(self, name: str, fn):
         if name not in self._jit_cache:

@@ -46,10 +46,8 @@ def main():
                         ro=8, ro_train=13, Schurn=20))
     cfg = SamplerConfig(T=T, order=2, xi=0.0, audio_len=audio_len,
                         filter_out_cqt_DC_Nyq=True)
-    denoiser = lambda x, sigma: edm.denoiser(
-        x, lambda xx, cn: model.apply(variables, xx, cn), sigma
-    )
-    sampler = Sampler(denoiser, edm, cfg, hpf=model.apply_hpf_DC)
+    # fused CQT/hpf denoiser: hpf already folded in (see CQTDiffPlus.fused_denoiser)
+    sampler = Sampler(model.fused_denoiser(variables, edm), edm, cfg, hpf=None)
 
     import numpy as np
 

@@ -97,3 +97,22 @@ def test_hpf_dc_parity(rng):
     a = ref.CQTransform.apply_hpf_DC(torch.from_numpy(x)).numpy()
     b = np.asarray(model.apply_hpf_DC(jnp.asarray(x)))
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_fused_denoiser_matches_unfused(rng):
+    """hpf(cskip*x + cout*net(cin*x)) == fused spectrum-sharing path."""
+    from babe_tpu.diffusion.edm import EDM, EDMParams
+
+    args = make_args(False)
+    model = CQTDiffPlus.from_config(args)
+    v = model.init(jax.random.PRNGKey(0), batch=2)
+    edm = EDM(EDMParams(sigma_data=0.1, sigma_min=1e-4, sigma_max=1.0, ro=8))
+    x = jnp.asarray(rng.standard_normal((2, LEN)).astype(np.float32) * 0.1)
+    sigma = jnp.asarray([[0.3], [0.05]])
+
+    ref = model.apply_hpf_DC(
+        edm.denoiser(x, lambda xx, cn: model.apply(v, xx, cn), sigma)
+    )
+    fused = model.fused_denoiser(v, edm)(x, sigma)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               atol=2e-4, rtol=1e-3)
