@@ -139,3 +139,26 @@ def test_checkpoint_load_from_trainer_format(tester, tmp_path):
         pickle.dump(payload, f)
     tester.load_checkpoint(p)
     assert tester.it == 7
+
+
+def test_denoise_chain_complete_recording(tester, tmp_path):
+    """denoise -> blind estimate -> AR-chunked BWE (denoise_and_bwe preset)."""
+    from babe_tpu.models.denoiser import MultiStageDenoiser
+
+    den_model = MultiStageDenoiser(depth=2, num_tfc=2, num_stages=2,
+                                   use_fencoding=True, use_SAM=True, f_dim=65,
+                                   fs=FS, stft_win_size=128, stft_hop_size=32,
+                                   segment_seconds=0.2)
+    den_vars = den_model.init(jax.random.PRNGKey(1))
+    tester.denoiser = (den_model, den_vars)
+    rng = np.random.default_rng(5)
+    rec = rng.standard_normal(LEN * 3).astype(np.float32) * 0.05
+    p = str(tmp_path / "noisy.wav")
+    write_wav(p, rec, FS)
+    tester.args.tester.complete_recording["path"] = p
+    tester.args.tester.complete_recording["ix_start"] = 0
+    tester.args.tester.complete_recording["n_segments_blindstep"] = 1
+    tester.args.tester.complete_recording["overlap"] = 1024 / FS
+    final, est = tester.test_real_blind_bwe_complete(use_denoiser=True)
+    assert final.shape[-1] == LEN * 3
+    assert np.all(np.isfinite(final))
