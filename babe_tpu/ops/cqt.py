@@ -200,6 +200,27 @@ class CQT:
         # flattened scatter plan for bwd (one scatter over all octaves)
         self._scatter_idx = np.concatenate([p.idx.reshape(-1) for p in plans])
 
+        # ---- inverse (gather) synthesis maps ----
+        # TPU scatter-add is slow; invert each octave's (bin,pos)->freq map
+        # into per-frequency contributor lists so synthesis is pure gathers:
+        # Y[l] = sum_j flat[gmap[j, l]] with a trailing zero slot for "none".
+        gmaps = []
+        for p in plans:
+            flat_idx = p.idx.reshape(-1)
+            used = (p.w_syn.reshape(-1) != 0) | (p.w_ana.reshape(-1) != 0)
+            buckets: dict[int, list[int]] = {}
+            for j, (l, u) in enumerate(zip(flat_idx, used)):
+                if u:
+                    buckets.setdefault(int(l), []).append(j)
+            max_occ = max((len(v) for v in buckets.values()), default=1)
+            pad_slot = flat_idx.shape[0]  # points at an appended zero
+            gm = np.full((max_occ, n_rbins), pad_slot, dtype=np.int32)
+            for l, js in buckets.items():
+                for r, j in enumerate(js):
+                    gm[r, l] = j
+            gmaps.append(gm)
+        self._gather_syn = tuple(gmaps)
+
     # ------------------------------------------------------------------ compute
 
     def spectrum(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -224,16 +245,22 @@ class CQT:
 
     def bwd_spectrum(self, coeffs: tuple[jnp.ndarray, ...]) -> jnp.ndarray:
         """Synthesis up to (but not including) the final irfft — returns the
-        reconstructed rfft spectrum (for FFT-sharing fused pipelines)."""
+        reconstructed rfft spectrum (for FFT-sharing fused pipelines).
+
+        Gather-based overlap-add: each octave's contributions are summed per
+        target frequency through precomputed contributor maps — no scatter
+        (slow on TPU) anywhere in the forward synthesis."""
         assert len(coeffs) == self.num_octs
         batch_shape = coeffs[0].shape[:-2]
-        vals = []
-        for p, c in zip(self._plans, coeffs):
-            sl = jnp.fft.fft(c, axis=-1) * p.w_syn  # [..., bpo, M]
-            vals.append(sl.reshape(*batch_shape, -1))
-        flat = jnp.concatenate(vals, axis=-1)
         Y = jnp.zeros((*batch_shape, self.Ls // 2 + 1), dtype=jnp.complex64)
-        return Y.at[..., self._scatter_idx].add(flat)
+        for p, gm, c in zip(self._plans, self._gather_syn, coeffs):
+            sl = jnp.fft.fft(c, axis=-1) * p.w_syn  # [..., bpo, M]
+            flat = sl.reshape(*batch_shape, -1)
+            pad = [(0, 0)] * (flat.ndim - 1) + [(0, 1)]
+            flat = jnp.pad(flat, pad)  # trailing zero slot
+            for row in gm:
+                Y = Y + flat[..., row]
+        return Y
 
     def bwd(self, coeffs: tuple[jnp.ndarray, ...], length: int | None = None) -> jnp.ndarray:
         """Synthesis from octave coefficients (lowest octave first)."""
