@@ -17,7 +17,7 @@ Init parity: EDM-style kaiming_uniform scaled by init_weight
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Sequence
+from typing import Any, Callable
 
 import flax.linen as nn
 import jax

@@ -17,7 +17,6 @@ X_list_out[i] at :826-830).
 
 from __future__ import annotations
 
-import math
 from typing import Any, Sequence
 
 import flax.linen as nn

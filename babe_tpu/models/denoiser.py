@@ -10,7 +10,7 @@ chain (testing/denoise_and_bwe_tester.py:109-165).  Layout is channels-last
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax

@@ -12,9 +12,11 @@ Design (TPU-first, not a port):
 
 * All frame construction happens host-side in numpy at build time; the jitted
   compute path is:  rfft -> per-octave (gather, window multiply, batched ifft)
-  for analysis, and per-octave (batched fft, dual-window multiply, scatter-add)
-  -> irfft for synthesis.  Everything has static shapes: the per-octave ragged
-  list of the reference becomes a tuple of fixed-shape complex arrays.
+  for analysis, and per-octave (batched fft, dual-window multiply,
+  gather-based overlap-add through precomputed inverse occupancy maps — TPU
+  scatter is slow) -> irfft for synthesis.  Everything has static shapes: the
+  per-octave ragged list of the reference becomes a tuple of fixed-shape
+  complex arrays.
 * Octave mode: all ``bins_per_oct`` bins inside octave ``o`` share one time
   resolution ``M_o`` (a power of two), and ``M_o`` exactly halves from one octave
   to the next-lower one — the property the CQTDiff+ U-Net's stride-2 time
@@ -37,9 +39,8 @@ Perfect reconstruction holds on the band-limited subspace (signals with
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

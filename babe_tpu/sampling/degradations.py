@@ -18,7 +18,7 @@ import numpy as np
 from babe_tpu.ops import fir, iir
 from babe_tpu.ops.filters import design_filter
 from babe_tpu.ops.resample import resample
-from babe_tpu.ops.stft import apply_stft, apply_filter
+from babe_tpu.ops.stft import apply_filter
 
 
 def make_fir(taps: np.ndarray) -> Callable:

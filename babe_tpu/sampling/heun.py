@@ -12,7 +12,7 @@ sigma == 0 (cnoise = log sigma).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 from typing import Any, Callable
 

@@ -25,8 +25,6 @@ from __future__ import annotations
 import glob as _glob
 import os
 import pickle
-from functools import partial
-from typing import Any
 
 import jax
 import jax.numpy as jnp

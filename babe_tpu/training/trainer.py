@@ -20,9 +20,7 @@ from __future__ import annotations
 import os
 import pickle
 import time
-from dataclasses import dataclass
-from functools import partial
-from typing import Any, Callable
+from typing import Any
 
 import flax
 import jax
