@@ -35,7 +35,10 @@ class ConfigDict(dict):
             raise AttributeError(name) from e
 
     def __setattr__(self, name: str, value: Any) -> None:
-        self[name] = _wrap(value)
+        self[name] = value
+
+    def __setitem__(self, name, value) -> None:
+        super().__setitem__(name, _wrap(value))
 
     def __delattr__(self, name: str) -> None:
         del self[name]

@@ -155,14 +155,20 @@ class Sampler:
 
     def _run(self, key, shape, y=None, degradation=None, rid=False):
         cfg = self.cfg
-        if cfg.start_sigma is None or y is None:
-            t = self.edm.create_schedule(cfg.T)
-        else:
+        # warm start only when the observation lives in signal space
+        # (phase-retrieval/resample observations have different shapes)
+        warm = (
+            cfg.start_sigma is not None and y is not None
+            and tuple(y.shape) == tuple(shape)
+        )
+        if warm:
             t = self.edm.create_schedule_from_initial_t(cfg.start_sigma, cfg.T)
+        else:
+            t = self.edm.create_schedule(cfg.T)
         gamma = self.edm.get_gamma(t)
         key, k0 = jax.random.split(key)
         x = jax.random.normal(k0, shape) * t[0]
-        if cfg.start_sigma is not None and y is not None:
+        if warm:
             x = y + x
 
         score = partial(self._score, y=y, degradation=degradation)

@@ -590,6 +590,76 @@ class Tester:
             ulog.write_audio_file(np.asarray(pred), self.fs, n + "_babe",
                                   self.paths["mushra"])
 
+    # ------------------------------------------- additional inverse problems
+
+    def test_declipping(self):
+        """Declipping at a target SDR (reference: edm_sampler.py:359-384 +
+        tester declipping config block)."""
+        if self.test_set is None:
+            return None
+        sdr = float(self.args.tester.declipping.get("SDR", 3))
+        s = self.sampler()
+        outs = []
+        for i in range(len(self.test_set)):
+            original, fs, name = self.test_set[i]
+            seg = jnp.asarray(self.resample_audio(original, fs))
+            # find the clip level giving the requested SDR
+            level = jnp.std(seg) * 10 ** (-sdr / 20) * 2
+            y = jnp.clip(seg, -level, level)
+            run = self._jitted(
+                "declip", lambda k, yy, lv: s.predict_declipping(k, yy, lv)
+            )
+            pred = np.asarray(run(self.next_key(), y, level))
+            outs.append(pred)
+            n = os.path.splitext(name)[0]
+            ulog.write_audio_file(pred, self.fs, n, self.paths["bwe"] + "_declipped")
+        return np.concatenate(outs, 0) if outs else None
+
+    def test_phase_retrieval(self):
+        """(reference: edm_sampler.py:308-336 + phase_retrieval config)"""
+        if self.test_set is None:
+            return None
+        pr = self.args.tester.phase_retrieval
+        win, hop = int(pr.win_size), int(pr.hop_size)
+        s = self.sampler()
+        run = self._jitted(
+            "pr", lambda k, ym: s.predict_phase_retrieval(k, ym, win, hop)
+        )
+        outs = []
+        for i in range(len(self.test_set)):
+            original, fs, name = self.test_set[i]
+            seg = jnp.asarray(self.resample_audio(original, fs))
+            y_mag = D.make_stft_mag(win, hop)(seg)
+            pred = np.asarray(run(self.next_key(), y_mag))
+            outs.append(pred)
+            n = os.path.splitext(name)[0]
+            ulog.write_audio_file(pred, self.fs, n, self.paths["bwe"] + "_pr")
+        return np.concatenate(outs, 0) if outs else None
+
+    def test_comp_sens(self):
+        """Compressive sensing: random sample mask
+        (reference: edm_sampler.py:337-357 + comp_sens config)."""
+        if self.test_set is None:
+            return None
+        pct = float(self.args.tester.comp_sens.get("percentage", 5))
+        mask = (
+            jax.random.uniform(jax.random.PRNGKey(0), (1, self.audio_len))
+            < pct / 100.0
+        ).astype(jnp.float32)
+        s = self.sampler()
+        run = self._jitted(
+            "compsens", lambda k, ym: s.predict_compsens(k, ym, mask)
+        )
+        outs = []
+        for i in range(len(self.test_set)):
+            original, fs, name = self.test_set[i]
+            seg = jnp.asarray(self.resample_audio(original, fs))
+            pred = np.asarray(run(self.next_key(), seg * mask))
+            outs.append(pred)
+            n = os.path.splitext(name)[0]
+            ulog.write_audio_file(pred, self.fs, n, self.paths["bwe"] + "_cs")
+        return np.concatenate(outs, 0) if outs else None
+
     # --------------------------------------------------------- denoiser chain
 
     def apply_denoiser(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -619,9 +689,17 @@ class Tester:
             elif mode == "real_blind_bwe_complete":
                 results[mode] = self.test_real_blind_bwe_complete()
             elif mode == "formal_test_bwe":
+                ft = self.args.tester.formal_test
                 results[mode] = self.formal_test_bwe(
-                    blind=bool(self.args.tester.formal_test.get("blind", False))
+                    blind=bool(ft.get("blind", False)),
+                    robustness=bool(ft.get("robustness", False)),
                 )
+            elif mode == "declipping":
+                results[mode] = self.test_declipping()
+            elif mode == "phase_retrieval":
+                results[mode] = self.test_phase_retrieval()
+            elif mode == "comp_sens":
+                results[mode] = self.test_comp_sens()
             elif mode == "formal_test_bwe_small":
                 results[mode] = self.formal_test_bwe_small()
             elif mode == "mushra":

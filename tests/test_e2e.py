@@ -162,3 +162,16 @@ def test_denoise_chain_complete_recording(tester, tmp_path):
     final, est = tester.test_real_blind_bwe_complete(use_denoiser=True)
     assert final.shape[-1] == LEN * 3
     assert np.all(np.isfinite(final))
+
+
+def test_additional_inverse_modes(tester):
+    """declipping / phase retrieval / compressive sensing tester modes."""
+    tester.args.tester["declipping"] = {"SDR": 3}
+    tester.args.tester["phase_retrieval"] = {"win_size": 256, "hop_size": 64}
+    tester.args.tester["comp_sens"] = {"percentage": 10}
+    out = tester.test_declipping()
+    assert out is not None and np.all(np.isfinite(out))
+    out = tester.test_comp_sens()
+    assert out is not None and np.all(np.isfinite(out))
+    out = tester.test_phase_retrieval()
+    assert out is not None and np.all(np.isfinite(out))
