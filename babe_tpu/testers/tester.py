@@ -275,6 +275,12 @@ class Tester:
                                       self.paths["blind_bwe"] + "_" + tag)
             ulog.save_trajectory(self.paths["blind_bwe"], n + "_rid",
                                  denoised=dens, t=t, filters=filts)
+            ulog.plot_filter_response(
+                [np.asarray(est_params), da_filter],
+                rfftfreq(self.blind_cfg.nfft, self.fs),
+                os.path.join(self.paths["blind_bwe"], n + "_filter.png"),
+                labels=["estimated", "reference"],
+            )
             results.append((np.asarray(pred), np.asarray(est_params)))
         return results
 

@@ -77,6 +77,59 @@ def save_trajectory(path: str, name: str, **arrays) -> str:
     return out
 
 
+def _mpl():
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        return plt
+    except Exception:  # pragma: no cover
+        return None
+
+
+def plot_loss_by_sigma(means, stds, bins, out_path: str) -> str | None:
+    """Loss vs noise-level plot (reference: utils/logging.py plot_loss_by_sigma)."""
+    plt = _mpl()
+    if plt is None:
+        return None
+    fig, ax = plt.subplots(figsize=(6, 4))
+    means = np.asarray(means, dtype=float)
+    stds = np.asarray(stds, dtype=float)
+    ax.errorbar(np.asarray(bins, dtype=float), means, yerr=stds, marker="o")
+    ax.set_xscale("log")
+    ax.set_xlabel("sigma")
+    ax.set_ylabel("loss")
+    fig.savefig(out_path, dpi=80, bbox_inches="tight")
+    plt.close(fig)
+    return out_path
+
+
+def plot_filter_response(params_list, freqs, out_path: str, labels=None) -> str | None:
+    """Estimated-vs-reference filter magnitude plot
+    (reference: utils/blind_bwe_utils.py:298-305 plot_filter)."""
+    plt = _mpl()
+    if plt is None:
+        return None
+    from babe_tpu.ops.filters import design_filter
+    import jax.numpy as jnp
+
+    fig, ax = plt.subplots(figsize=(6, 4))
+    for i, p in enumerate(params_list):
+        H = np.asarray(design_filter(jnp.asarray(p[0]), jnp.asarray(p[1]),
+                                     jnp.asarray(freqs)))
+        label = labels[i] if labels else f"filter {i}"
+        ax.plot(freqs[1:], 20 * np.log10(H[1:] + 1e-8), label=label)
+    ax.set_xscale("log")
+    ax.set_xlabel("frequency (Hz)")
+    ax.set_ylabel("magnitude (dB)")
+    ax.legend()
+    fig.savefig(out_path, dpi=80, bbox_inches="tight")
+    plt.close(fig)
+    return out_path
+
+
 class MetricsLogger:
     """JSONL metrics stream + optional wandb mirror."""
 
