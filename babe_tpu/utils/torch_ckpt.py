@@ -27,23 +27,24 @@ def extract_network_state(ckpt: Mapping[str, Any], prefer: str = "ema") -> dict:
     (mirrors the fallback cascade in utils/training_utils.py:223-403)."""
     if not isinstance(ckpt, Mapping):
         raise TypeError("checkpoint must be a dict-like object")
+    def strip_prefixes(sd: Mapping) -> dict:
+        # dance-diffusion style: 'diffusion_ema.' / 'diffusion.' prefixed keys
+        for prefix in ("diffusion_ema.", "diffusion."):
+            sub = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+            if sub:
+                return sub
+        return dict(sd)
+
     candidates = [prefer, "ema", "network", "ema_model", "state_dict", "model"]
     for key in candidates:
         sd = ckpt.get(key)
         if isinstance(sd, Mapping) and any(
             hasattr(v, "shape") for v in sd.values()
         ):
-            return dict(sd)
-    # dance-diffusion style: prefixed keys inside 'state_dict'
-    sd = ckpt.get("state_dict")
-    if isinstance(sd, Mapping):
-        for prefix in ("diffusion_ema.", "diffusion."):
-            sub = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
-            if sub:
-                return sub
+            return strip_prefixes(sd)
     # maybe the checkpoint *is* the raw state dict
     if any(hasattr(v, "shape") for v in ckpt.values()):
-        return dict(ckpt)
+        return strip_prefixes(ckpt)
     raise ValueError(f"no network weights found; top-level keys: {list(ckpt)[:10]}")
 
 

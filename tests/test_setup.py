@@ -64,3 +64,24 @@ def test_setup_trainer(tmp_path):
     tr = S.setup_trainer(args, dset(), net, dp)
     m = tr.train_step()
     assert np.isfinite(float(m["loss"]))
+
+
+def test_legacy_checkpoint_format_cascade():
+    """All reference checkpoint layouts resolve to weights
+    (utils/training_utils.py:223-403 cascade)."""
+    import numpy as np
+
+    from babe_tpu.utils.torch_ckpt import extract_network_state
+
+    w = {"downs.0.0.res_conv.weight": np.zeros((4, 2, 1, 1), np.float32)}
+    assert extract_network_state({"ema": w}) == w
+    assert extract_network_state({"network": w}) == w
+    assert extract_network_state({"state_dict": w}) == w
+    assert extract_network_state({"ema_model": w}) == w
+    assert extract_network_state(w) == w  # raw dict
+    pref = {f"diffusion_ema.{k}": v for k, v in w.items()}
+    out = extract_network_state({"state_dict": pref})
+    assert set(out) == set(w)
+    prefer_net = extract_network_state({"ema": w, "network": {"x.weight": np.ones(1)}},
+                                       prefer="network")
+    assert "x.weight" in prefer_net
