@@ -47,7 +47,10 @@ def _main(args):
     print(f"training on {mesh.devices.size} device(s), batch {n_batch}")
     trainer = Trainer(args, dset, model, diff_params, tester=tester, mesh=mesh)
     print(f"total params: {trainer.total_params/1e6:.2f} M")
-    trainer.training_loop()
+    total_its = args.exp.get("total_its", None)  # None = run forever (reference)
+    trainer.training_loop(max_its=None if total_its in (None, "None") else int(total_its))
+    if bool(args.get_path("logging.save_model", True)):
+        print("saved final checkpoint:", trainer.save_checkpoint())
 
 
 def main():
