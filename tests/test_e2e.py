@@ -175,3 +175,22 @@ def test_additional_inverse_modes(tester):
     assert out is not None and np.all(np.isfinite(out))
     out = tester.test_phase_retrieval()
     assert out is not None and np.all(np.isfinite(out))
+
+
+def test_torch_pt_checkpoint_load(tester, tmp_path):
+    """A reference-format torch .pt checkpoint loads through the tester
+    (test.py path: torch pickle -> legacy cascade -> converted pytree)."""
+    import sys
+    import torch
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from torch_ref import build_reference_model
+
+    args = default_config(tiny_overrides(str(tmp_path), "[unconditional]"))
+    ref = build_reference_model(args)
+    p = str(tmp_path / "ref.pt")
+    torch.save({"it": 42, "ema": ref.state_dict()}, p)
+    tester.load_checkpoint(p)
+    assert tester.it == 0 or tester.it == 42  # .pt path doesn't carry 'it'
+    preds = tester.sample_unconditional()
+    assert np.all(np.isfinite(preds))
