@@ -491,40 +491,64 @@ class Tester:
             final = np.zeros_like(degraded)
             filter_data = []
 
-            def predict(seg_np):
-                seg = jnp.asarray(seg_np)
-                if blind:
-                    pred, est = run_blind(self.next_key(), seg)
-                    filter_data.append((None, np.asarray(est)))
-                    return np.asarray(pred)
-                return np.asarray(run_informed(self.next_key(), seg))
-
             if use_ar and not blind:
                 final = self._ar_loop(degraded, filt if ftype == "fc_A" else jnp.asarray(filt), ftype)
             else:
-                ix = 0
-                pred = predict(degraded[..., :segL])
-                win = pred[..., : segL - discard_end].copy()
-                win[..., -OLA:] *= hann[OLA:]
-                final[..., : segL - discard_end] = win
-                ix += segL - discard_end - OLA
-                while ix < L - segL - discard_end:
-                    pred = predict(degraded[..., ix : ix + segL])
-                    win = pred[..., : segL - discard_end].copy()
-                    win[..., :OLA] *= hann[:OLA]
-                    win[..., -OLA:] *= hann[OLA:]
-                    final[..., ix : ix + segL - discard_end] += win
-                    ix += segL - discard_end - OLA
-                seg = degraded[..., ix:]
-                seg_zp = (
-                    np.pad(seg, ((0, 0), (0, segL - seg.shape[-1])))
-                    if seg.shape[-1] < segL
-                    else seg[..., :segL]
-                )
-                pred = predict(seg_zp)
-                win = pred[..., : seg.shape[-1]].copy()
-                win[..., :OLA] *= hann[:OLA]
-                final[..., ix:] += win
+                # OLA chunks are independent — batch them through one jitted
+                # sampler call (the reference loops them at batch size 1,
+                # blind_bwe_tester.py:359 "not the most efficient way").
+                hop = segL - discard_end - OLA
+                starts = list(range(0, max(L - segL - discard_end, 1), hop))
+                tail_ix = starts[-1] + hop
+                segs = [degraded[0, ix : ix + segL] for ix in starts]
+                tail = degraded[0, tail_ix:]
+                tail_len = tail.shape[-1]
+                segs.append(np.pad(tail, (0, segL - tail_len))
+                            if tail_len < segL else tail[:segL])
+                segs = np.stack(segs)  # [n_chunks, segL]
+                if blind:
+                    # per-chunk filter estimates (matching the reference's
+                    # chunk-wise blind evaluation) — batch 1 by necessity
+                    preds = []
+                    for row in range(segs.shape[0]):
+                        pred_b, est = run_blind(
+                            self.next_key(), jnp.asarray(segs[row : row + 1])
+                        )
+                        filter_data.append(((row,), np.asarray(est)))
+                        preds.append(np.asarray(pred_b))
+                    preds = np.concatenate(preds, 0)
+                else:
+                    # informed chunks share the filter: batch them
+                    cb = max(int(ft.get("chunk_batch", 4)), 1)
+                    if segs.shape[0] % cb:  # pad to a full batch (static shapes)
+                        reps = cb - segs.shape[0] % cb
+                        segs_in = np.concatenate([segs, segs[-1:].repeat(reps, 0)], 0)
+                    else:
+                        segs_in = segs
+                    run_b = self._jitted(
+                        f"formal_b{cb}_{ftype}",
+                        lambda k, y: s.predict_bwe(k, y, filt, ftype),
+                    )
+                    preds = []
+                    for b0 in range(0, segs_in.shape[0], cb):
+                        pred_b = run_b(
+                            self.next_key(), jnp.asarray(segs_in[b0 : b0 + cb])
+                        )
+                        preds.append(np.asarray(pred_b))
+                    preds = np.concatenate(preds, 0)[: segs.shape[0]]
+
+                for row, ix in enumerate(starts):
+                    win = preds[row, : segL - discard_end].copy()
+                    if row > 0:
+                        win[:OLA] *= hann[:OLA]
+                    win[-OLA:] *= hann[OLA:]
+                    if row == 0:
+                        final[0, : segL - discard_end] = win
+                    else:
+                        final[0, ix : ix + segL - discard_end] += win
+                win = preds[-1, :tail_len].copy()
+                win[:OLA] *= hann[:OLA]
+                final[0, tail_ix:] += win
 
             ulog.write_audio_file(final, self.fs, n, path_out)
             if blind:

@@ -194,3 +194,31 @@ def test_torch_pt_checkpoint_load(tester, tmp_path):
     assert tester.it == 0 or tester.it == 42  # .pt path doesn't carry 'it'
     preds = tester.sample_unconditional()
     assert np.all(np.isfinite(preds))
+
+
+def test_formal_test_bwe_ola(tester, tmp_path):
+    """Directory OLA evaluation with batched chunks + idempotent resume."""
+    from babe_tpu.data.wavio import read_wav
+
+    rng = np.random.default_rng(7)
+    in_dir, out_dir = tmp_path / "in", tmp_path / "out"
+    os.makedirs(in_dir)
+    for i in range(2):
+        write_wav(str(in_dir / f"tr{i}.wav"),
+                  rng.standard_normal(LEN * 3).astype(np.float32) * 0.05, FS)
+    ft = tester.args.tester.formal_test
+    ft["path"] = str(in_dir)
+    ft["folder"] = str(out_dir)
+    ft["use_AR"] = False
+    ft["OLA"] = 256
+    ft["chunk_batch"] = 2
+    tester.formal_test_bwe(typefilter="fc_A")
+    outs = sorted(os.listdir(out_dir))
+    assert outs == ["tr0.wav", "tr1.wav"]
+    audio, fs = read_wav(str(out_dir / "tr0.wav"))
+    assert fs == FS and audio.shape[-1] == LEN * 3
+    assert np.isfinite(audio).all()
+    # resume: rerun is a no-op (files exist)
+    mtimes = {f: os.path.getmtime(out_dir / f) for f in outs}
+    tester.formal_test_bwe(typefilter="fc_A")
+    assert all(os.path.getmtime(out_dir / f) == mtimes[f] for f in outs)
