@@ -39,3 +39,21 @@ def shard_batch(mesh: Mesh, tree, axis: str = "dp"):
     """Place a host batch onto the mesh, sharded along the leading axis."""
     sh = batch_sharding(mesh, axis)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def init_distributed(coordinator: str | None = None, num_processes: int | None = None,
+                     process_id: int | None = None) -> int:
+    """Multi-host initialization for real pods (jax.distributed over ICI/DCN).
+
+    On a single host this is a no-op. On a pod slice, call once per process
+    before any jax use; afterwards ``make_mesh()`` spans all global devices and
+    the same NamedSharding training step scales unchanged (XLA inserts the
+    cross-host collectives). Returns the global device count.
+    """
+    if coordinator or num_processes:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return jax.device_count()

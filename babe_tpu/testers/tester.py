@@ -84,8 +84,17 @@ class Tester:
         (reference: blind_bwe_tester.py:238-272 + 7-way legacy loader)."""
         template = self.model.init(jax.random.PRNGKey(0), batch=1)
         if path.endswith(".pt"):
-            converted = load_torch_checkpoint(path, prefer="ema")
+            import torch
+
+            from babe_tpu.utils.torch_ckpt import (
+                convert_state_dict,
+                extract_network_state,
+            )
+
+            ckpt = torch.load(path, map_location="cpu", weights_only=False)
+            converted = convert_state_dict(extract_network_state(ckpt, prefer="ema"))
             self.variables = fill_variables(template, converted, strict=True)
+            self.it = int(ckpt.get("it", 0)) if isinstance(ckpt, dict) else 0
         else:
             with open(path, "rb") as f:
                 payload = pickle.load(f)
@@ -275,6 +284,10 @@ class Tester:
                                       self.paths["blind_bwe"] + "_" + tag)
             ulog.save_trajectory(self.paths["blind_bwe"], n + "_rid",
                                  denoised=dens, t=t, filters=filts)
+            ulog.diffusion_spec_animation(
+                dens, t, os.path.join(self.paths["blind_bwe"], n + "_anim.gif"),
+                fs=self.fs,
+            )
             ulog.plot_filter_response(
                 [np.asarray(est_params), da_filter],
                 rfftfreq(self.blind_cfg.nfft, self.fs),

@@ -130,6 +130,39 @@ def plot_filter_response(params_list, freqs, out_path: str, labels=None) -> str 
     return out_path
 
 
+def diffusion_spec_animation(dens, t, out_path: str, fs: int = 22050,
+                             win: int = 1024, hop: int = 256,
+                             max_frames: int = 12) -> str | None:
+    """Animated GIF of the reverse process's denoised-estimate spectrograms
+    (reference: utils/logging.py diffusion_spec_animation, plotly HTML ->
+    GIF here). dens: [steps, B, T] trajectory; t: schedule."""
+    plt = _mpl()
+    if plt is None:
+        return None
+    try:
+        import imageio.v2 as imageio
+    except Exception:  # pragma: no cover
+        return None
+    import scipy.signal as ss
+
+    dens = np.asarray(dens)
+    steps = dens.shape[0]
+    idx = np.linspace(0, steps - 1, min(steps, max_frames)).astype(int)
+    frames = []
+    for i in idx:
+        f, tt, S = ss.stft(dens[i, 0], fs=fs, nperseg=win, noverlap=win - hop)
+        fig, ax = plt.subplots(figsize=(6, 3))
+        ax.imshow(20 * np.log10(np.abs(S) + 1e-8), origin="lower", aspect="auto",
+                  cmap="magma", vmin=-100, vmax=0)
+        ax.set_title(f"step {i}  sigma={float(np.asarray(t)[i]):.4f}")
+        fig.canvas.draw()
+        buf = np.asarray(fig.canvas.buffer_rgba())[..., :3]
+        frames.append(buf)
+        plt.close(fig)
+    imageio.mimsave(out_path, frames, duration=0.4)
+    return out_path
+
+
 class MetricsLogger:
     """JSONL metrics stream + optional wandb mirror."""
 

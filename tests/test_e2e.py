@@ -191,7 +191,7 @@ def test_torch_pt_checkpoint_load(tester, tmp_path):
     p = str(tmp_path / "ref.pt")
     torch.save({"it": 42, "ema": ref.state_dict()}, p)
     tester.load_checkpoint(p)
-    assert tester.it == 0 or tester.it == 42  # .pt path doesn't carry 'it'
+    assert tester.it == 42  # 'it' carried through (reference :270-272)
     preds = tester.sample_unconditional()
     assert np.all(np.isfinite(preds))
 
