@@ -38,7 +38,7 @@ from babe_tpu.sampling import degradations as D
 from babe_tpu.sampling.blind import BlindConfig, BlindSampler
 from babe_tpu.sampling.heun import SamplerConfig
 from babe_tpu.utils import logging as ulog
-from babe_tpu.utils.torch_ckpt import fill_variables, load_torch_checkpoint
+from babe_tpu.utils.torch_ckpt import fill_variables
 
 
 class Tester:
