@@ -272,8 +272,15 @@ class Tester:
                     jnp.asarray(rfftfreq(self.blind_cfg.nfft, self.fs)),
                 )
             )
+            from babe_tpu.utils.metrics import lsd, lsd_high_band
+
+            fc0 = float(np.atleast_1d(np.asarray(da_filter[0]))[0])
             self.metrics.log(
                 {"mode": "blind_bwe", "item": n, "filter_db_mse": dbmse,
+                 "lsd": float(lsd(seg, pred).mean()),
+                 "lsd_high_band": float(
+                     lsd_high_band(seg, pred, self.fs, fc0).mean()
+                 ),
                  "fc_est": np.asarray(est_params[0]).tolist(),
                  "A_est": np.asarray(est_params[1]).tolist()},
                 step=i,
