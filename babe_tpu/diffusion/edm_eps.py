@@ -3,8 +3,15 @@
 Re-implementation of diff_params/edm_eps.py (333 LoC): a logSNR-linear
 scheduler with gamma<->t<->sigma<->(alpha, s) conversions, a DDIM reverse
 process, and a denoiser that maps the EDM sigma onto the (a, s)
-parameterization and returns x0 = (z - s*eps_hat)/a.  Inherits all EDM
-schedule/loss machinery.
+parameterization and returns x0 = (z - s*eps_hat)/a.
+
+Training side (create_schedule, sample_ptrain_safe,
+prepare_train_preconditioning, loss_fn) is inherited from EDM *on purpose*:
+the reference's eps-file "overrides" (diff_params/edm_eps.py:157-333) are
+formula-identical copies of the base EDM methods (diff_params/edm.py:55-206)
+— the eps parameterization only changes the DENOISER mapping, not the
+training loss pipeline.  tests/test_edm_eps_parity.py proves every
+training-side quantity numerically against the reference module.
 """
 
 from __future__ import annotations

@@ -61,7 +61,11 @@ class EDMPD(EDM):
         estimate = net(cin_0 * zn, cnoise_0)
         error = estimate - target
         if self.cqt_hpf is not None:
-            pass  # optional DC correction mirrors EDM.loss_fn when requested
+            # CQT DC/Nyquist correction: the network discards those bands, so
+            # their error components must not be propagated (mirrors
+            # EDM.loss_fn; reference: diff_params/edm.py:195-199 applied the
+            # same way in the PD loss path)
+            error = self.cqt_hpf(error)
         return error**2, sigma_0
 
     def PD_sample(self, key, N: int, L: int, net, stage: int):

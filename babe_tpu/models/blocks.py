@@ -129,16 +129,23 @@ class BiasFreeGroupNorm(nn.Module):
         gamma = self.param("gamma", nn.initializers.ones, (self.num_features,))
         B, F, T, C = x.shape
         g = self.num_groups
-        xg = x.reshape(B, F, T, g, C // g)
-        xg = jnp.moveaxis(xg, 3, 1)  # [B, g, F, T, C//g]
-        x32 = xg.astype(jnp.float32)
-        n = F * T * (C // g)
-        mean = jnp.mean(x32, axis=(2, 3, 4), keepdims=True)
-        var = jnp.sum((x32 - mean) ** 2, axis=(2, 3, 4), keepdims=True) / (n - 1)
-        std = jnp.sqrt(var)
-        xg = (xg / (std + self.eps).astype(x.dtype))
-        xg = jnp.moveaxis(xg, 1, 3).reshape(B, F, T, C)
-        return xg * gamma.astype(x.dtype)
+        cg = C // g
+        n = F * T * cg
+        # TPU-lane-friendly group statistics: reducing a (B,F,T,g,C/g)
+        # reshape wastes up to 16x of the 128-wide vector lanes (minor dim
+        # C/g as small as 8).  Instead reduce over (F,T) per CHANNEL — fully
+        # lane-aligned — then pool the tiny (B,C) result per group.  One
+        # fused read of x for both moments, one read+write to normalize.
+        x32 = x.astype(jnp.float32)
+        s1 = jnp.mean(x32, axis=(1, 2))  # (B, C)
+        s2 = jnp.mean(x32 * x32, axis=(1, 2))
+        m = s1.reshape(B, g, cg).mean(-1)
+        sq = s2.reshape(B, g, cg).mean(-1)
+        # unbiased (torch x.std()) variance via E[x^2] - E[x]^2
+        var = (sq - m * m) * (n / (n - 1.0))
+        std = jnp.sqrt(jnp.maximum(var, 0.0))  # (B, g)
+        denom = jnp.repeat(std + self.eps, cg, axis=-1).astype(x.dtype)  # (B, C)
+        return x / denom[:, None, None, :] * gamma.astype(x.dtype)
 
 
 class RFF_MLP_Block(nn.Module):

@@ -174,9 +174,9 @@ class CQTDiffPlus:
                  use_fencoding=False,
                  attention_layers=(0, 0, 0, 0, 0, 0, 0, 0),
                  attention_dict=None, num_bottleneck_layers=1,
-                 compute_dtype=jnp.float32):
+                 compute_dtype=jnp.float32, cqt_mode="native"):
         self.cqt: CQT = get_cqt(num_octs, bins_per_oct, float(fs), int(audio_len),
-                                window=window, beta=float(beta))
+                                window=window, beta=float(beta), mode=cqt_mode)
         self.audio_len = int(audio_len)
         self.net = CQTDiffPlusNet(
             num_octs=num_octs, bins_per_oct=bins_per_oct, emb_dim=emb_dim,
@@ -207,6 +207,7 @@ class CQTDiffPlus:
             attention_dict=net.get("attention_dict"),
             num_bottleneck_layers=int(net.get("num_bottleneck_layers", 1)),
             compute_dtype=compute_dtype,
+            cqt_mode=net.cqt.get("mode", "native"),
         )
 
     def init(self, key, batch: int = 1):

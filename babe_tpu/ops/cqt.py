@@ -82,6 +82,8 @@ class _OctavePlan:
     idx: np.ndarray  # [bins_per_oct, M] int32 — rfft bin index feeding each slot
     w_ana: np.ndarray  # [bins_per_oct, M] float32 — analysis window (scaled)
     w_syn: np.ndarray  # [bins_per_oct, M] float32 — dual synthesis window
+    conj: np.ndarray | None = None  # [bins_per_oct, M] bool — slot reads conj(X[idx])
+    # (None when every slot reads the positive-frequency half directly)
 
 
 class CQT:
@@ -104,14 +106,27 @@ class CQT:
         audio_len: int,
         window: str = "kaiser",
         beta: float = 1.0,
+        mode: str = "native",
     ):
         self.num_octs = int(num_octs)
         self.bins_per_oct = int(bins_per_oct)
         self.fs = float(fs)
         self.audio_len = int(audio_len)
-        self.Ls = next_fast_len(self.audio_len, even=True)
-        win_fn = _WINDOWS[window]
+        self.mode = mode
+        if mode == "native":
+            self.Ls = next_fast_len(self.audio_len, even=True)
+            self._build_native(window, beta)
+        elif mode in ("oct_pow2", "compat"):
+            # the reference package runs its FFT at exactly audio_len
+            # (cqt_nsgt_pytorch CQT_nsgt: Ls = audio_len, no padding)
+            self.Ls = self.audio_len + (self.audio_len % 2)
+            self._build_compat(window, beta)
+        else:
+            raise ValueError(f"unknown CQT mode {mode!r}")
+        self._finalize_plans()
 
+    def _build_native(self, window: str, beta: float):
+        win_fn = _WINDOWS[window]
         K = self.num_octs * self.bins_per_oct
         nyq = self.fs / 2.0
         fmin = nyq / (2.0**self.num_octs)
@@ -198,29 +213,173 @@ class CQT:
             plans.append(_OctavePlan(M=Mo, idx=idx, w_ana=w_ana, w_syn=w_syn))
         self._plans: tuple[_OctavePlan, ...] = tuple(plans)
 
-        # flattened scatter plan for bwd (one scatter over all octaves)
-        self._scatter_idx = np.concatenate([p.idx.reshape(-1) for p in plans])
+    def _build_compat(self, window: str, beta: float):
+        """`cqt_nsgt_pytorch` "oct"-mode frame, re-derived (no code reuse) from
+        the painless CQ-NSGT construction the package adapts (Velasco,
+        Holighaus, Doerfler, Grill, DAFx-11; reference call site:
+        networks/cqtdiff+.py:620).  Differences from our native mode:
 
-        # ---- inverse (gather) synthesis maps ----
-        # TPU scatter-add is slow; invert each octave's (bin,pos)->freq map
-        # into per-frequency contributor lists so synthesis is pure gathers:
-        # Y[l] = sum_j flat[gmap[j, l]] with a trailing zero slot for "none".
-        gmaps = []
-        for p in plans:
+          * frequency grid: LogScale(fmin, fmax, K) INCLUSIVE of fmax = fs/2
+            (top bin sits at Nyquist), odiv = num_octs/(K-1) — not 1/bins_per_oct,
+          * bandwidths from the constant Q factor
+            q = sqrt(2^odiv)/(2^odiv - 1)/2, window length M_k =
+            round((f_k/q) * Ls/fs) clipped to min_win=4,
+          * per-octave time size = next power of two of the octave's max
+            window length (the "powers of 2 for the time sizes" noted at
+            reference networks/cqtdiff+.py:18), exact halving enforced,
+          * FFT length = audio_len itself (package pads nothing),
+          * windows are full-length periodic (peak at the bin center,
+            support M_k, asymmetric split for even M_k) — NOT clipped at the
+            spectrum edges: slots beyond Nyquist read the conjugate mirror
+            of the rfft half-spectrum exactly as the package's complex FFT
+            sees X[Ls-l] = conj(X[l]) for real input,
+          * analysis scale 1 (plain ifft convention), duals absorb M_o/S.
+
+        The absolute coefficient-scale convention and the kaiser periodic
+        sampling are pinned here by derivation, not by running the package
+        (no egress); tests/test_cqt_compat.py carries a parity harness that
+        activates automatically when `cqt_nsgt_pytorch` is importable.
+        """
+        win_fn = _WINDOWS[window]
+        K = self.num_octs * self.bins_per_oct
+        Ls = self.Ls
+        nyq = self.fs / 2.0
+        fmax = nyq - 1e-6  # package: fmax just below Nyquist so the bin survives
+        fmin = fmax / (2.0**self.num_octs)
+        odiv = (np.log2(fmax) - np.log2(fmin)) / (K - 1)
+        pow2n = 2.0**odiv
+        q = np.sqrt(pow2n) / (pow2n - 1.0) / 2.0
+        freqs = fmin * pow2n ** np.arange(K)
+        self.freqs = freqs
+        bins_per_hz = Ls / self.fs
+
+        centers = np.round(freqs * bins_per_hz).astype(int)
+        Lg = np.maximum(4, np.round((freqs / q) * bins_per_hz)).astype(int)
+
+        # per-octave pow2 time sizes with exact halving (top octave governs)
+        k_top = self.num_octs - 1
+        m_top = _next_pow2(int(Lg[(k_top + 1) * self.bins_per_oct - 1]))
+        while any(
+            (m_top >> (k_top - o)) < Lg[(o + 1) * self.bins_per_oct - 1]
+            for o in range(self.num_octs)
+        ):
+            m_top *= 2
+        self.M = tuple(m_top >> (self.num_octs - 1 - o) for o in range(self.num_octs))
+
+        def periodic_win(m: int) -> np.ndarray:
+            """window of length m, peak at index m//2 (offset 0)."""
+            w = win_fn(m + 1, beta)
+            # win_fn returns a symmetric (m+1)-point window, peak at index m/2;
+            # dropping the last sample yields the periodic form; roll so that
+            # element j corresponds to offset d = j - m//2
+            return w[:-1] if m % 2 == 0 else win_fn(m, beta)
+
+        # ---- frame operator over the full grid ----
+        S = np.zeros(Ls, dtype=np.float64)
+        S_oct = np.zeros(Ls, dtype=np.float64)
+
+        def band_slots(k: int):
+            m = int(Lg[k])
+            d = np.arange(m) - m // 2
+            w = periodic_win(m)
+            l_full = (centers[k] + d) % Ls
+            return l_full, w
+
+        band_cache = [band_slots(k) for k in range(K)]
+        for o in range(self.num_octs):
+            Mo = self.M[o]
+            for k in range(o * self.bins_per_oct, (o + 1) * self.bins_per_oct):
+                l_full, w = band_cache[k]
+                np.add.at(S, l_full, Mo * w**2)
+                np.add.at(S, (Ls - l_full) % Ls, Mo * w**2)  # mirror band
+                np.add.at(S_oct, l_full, Mo * w**2)
+                np.add.at(S_oct, (Ls - l_full) % Ls, Mo * w**2)
+
+        # DC band (length 2*center_of_first_bin+1-ish; nsgt: M[0]=2*fbas[1])
+        m_dc = max(4, int(round(2 * freqs[0] * bins_per_hz)))
+        w_dc = periodic_win(m_dc)
+        l_dc = (np.arange(m_dc) - m_dc // 2) % Ls
+        np.add.at(S, l_dc, _next_pow2(m_dc) * w_dc**2)
+        # Nyquist band (bandwidth: neighbour difference across the mirror)
+        m_ny = max(4, int(round(2 * (nyq - freqs[-2]) * bins_per_hz)))
+        w_ny = periodic_win(m_ny)
+        l_ny = (Ls // 2 + np.arange(m_ny) - m_ny // 2) % Ls
+        np.add.at(S, l_ny, _next_pow2(m_ny) * w_ny**2)
+
+        assert S.min() > 0, "frame operator not invertible (coverage gap)"
+        n_rbins = Ls // 2 + 1
+        self._mask = (S_oct / S)[:n_rbins].astype(np.float32)
+
+        # ---- per-octave gather plans (with conjugate-mirror folding) ----
+        plans = []
+        for o in range(self.num_octs):
+            Mo = self.M[o]
+            idx = np.zeros((self.bins_per_oct, Mo), dtype=np.int32)
+            conj = np.zeros((self.bins_per_oct, Mo), dtype=bool)
+            w_ana = np.zeros((self.bins_per_oct, Mo), dtype=np.float32)
+            w_syn = np.zeros((self.bins_per_oct, Mo), dtype=np.float32)
+            for j, k in enumerate(
+                range(o * self.bins_per_oct, (o + 1) * self.bins_per_oct)
+            ):
+                l_full, w = band_cache[k]
+                m = l_full.shape[0]
+                d = np.arange(m) - m // 2
+                pos = d % Mo  # window peak at slot 0 (baseband demodulation)
+                folded = np.where(l_full <= Ls // 2, l_full, Ls - l_full)
+                idx[j, pos] = folded
+                conj[j, pos] = l_full > Ls // 2
+                w_ana[j, pos] = w  # plain ifft convention, scale 1
+                # painless duals are pointwise g(l)*M/S(l) at the frequency
+                # where the (possibly mirror-) band element lives — i.e. the
+                # synthesis TARGET bin (S is asymmetric around Nyquist because
+                # the even-length periodic windows have support
+                # d in [-m/2, m/2-1], so S[l_full] would be wrong for folded
+                # slots)
+                w_syn[j, pos] = w * Mo / S[folded]
+            plans.append(
+                _OctavePlan(M=Mo, idx=idx, w_ana=w_ana, w_syn=w_syn, conj=conj)
+            )
+        self._plans = tuple(plans)
+
+    def _finalize_plans(self):
+        """Invert the (bin,pos)->frequency maps into per-frequency contributor
+        lists so synthesis is pure gathers (TPU scatter-add is slow):
+        Y[l] = sum_j flat[gmap[j, l]] with a trailing zero slot for "none".
+
+        With conjugate-mirror folding (compat mode): a slot whose full-grid
+        bin is l > Ls/2 contributes conj(value) at Ls-l, and a slot exactly at
+        0 or Ls/2 contributes value + conj(value) (its mirror band coincides).
+        """
+        Ls = self.Ls
+        n_rbins = Ls // 2 + 1
+        gmaps, gconjs = [], []
+        for p in self._plans:
             flat_idx = p.idx.reshape(-1)
+            flat_conj = (
+                p.conj.reshape(-1) if p.conj is not None
+                else np.zeros_like(flat_idx, dtype=bool)
+            )
             used = (p.w_syn.reshape(-1) != 0) | (p.w_ana.reshape(-1) != 0)
-            buckets: dict[int, list[int]] = {}
-            for j, (l, u) in enumerate(zip(flat_idx, used)):
-                if u:
-                    buckets.setdefault(int(l), []).append(j)
+            buckets: dict[int, list[tuple[int, bool]]] = {}
+            for j, (l, cj, u) in enumerate(zip(flat_idx, flat_conj, used)):
+                if not u:
+                    continue
+                buckets.setdefault(int(l), []).append((j, bool(cj)))
+                if p.conj is not None and (l == 0 or l == Ls // 2):
+                    # self-mirrored bin: band + its mirror both land here
+                    buckets[int(l)].append((j, not bool(cj)))
             max_occ = max((len(v) for v in buckets.values()), default=1)
             pad_slot = flat_idx.shape[0]  # points at an appended zero
             gm = np.full((max_occ, n_rbins), pad_slot, dtype=np.int32)
-            for l, js in buckets.items():
-                for r, j in enumerate(js):
+            gc = np.zeros((max_occ, n_rbins), dtype=bool)
+            for l, entries in buckets.items():
+                for r, (j, cj) in enumerate(entries):
                     gm[r, l] = j
+                    gc[r, l] = cj
             gmaps.append(gm)
+            gconjs.append(gc if gc.any() else None)
         self._gather_syn = tuple(gmaps)
+        self._gather_syn_conj = tuple(gconjs)
 
     # ------------------------------------------------------------------ compute
 
@@ -236,7 +395,11 @@ class CQT:
         """Analysis from an rfft spectrum (for FFT-sharing fused pipelines)."""
         outs = []
         for p in self._plans:
-            sl = X[..., p.idx] * p.w_ana  # [..., bpo, M]
+            sl = X[..., p.idx]  # [..., bpo, M]
+            if p.conj is not None:
+                # slots beyond Nyquist read the conjugate mirror (compat mode)
+                sl = jnp.where(p.conj, jnp.conj(sl), sl)
+            sl = sl * p.w_ana
             outs.append(jnp.fft.ifft(sl, axis=-1).astype(jnp.complex64))
         return tuple(outs)
 
@@ -254,13 +417,18 @@ class CQT:
         assert len(coeffs) == self.num_octs
         batch_shape = coeffs[0].shape[:-2]
         Y = jnp.zeros((*batch_shape, self.Ls // 2 + 1), dtype=jnp.complex64)
-        for p, gm, c in zip(self._plans, self._gather_syn, coeffs):
+        for p, gm, gc, c in zip(
+            self._plans, self._gather_syn, self._gather_syn_conj, coeffs
+        ):
             sl = jnp.fft.fft(c, axis=-1) * p.w_syn  # [..., bpo, M]
             flat = sl.reshape(*batch_shape, -1)
             pad = [(0, 0)] * (flat.ndim - 1) + [(0, 1)]
             flat = jnp.pad(flat, pad)  # trailing zero slot
-            for row in gm:
-                Y = Y + flat[..., row]
+            for r, row in enumerate(gm):
+                v = flat[..., row]
+                if gc is not None:
+                    v = jnp.where(gc[r], jnp.conj(v), v)
+                Y = Y + v
         return Y
 
     def bwd(self, coeffs: tuple[jnp.ndarray, ...], length: int | None = None) -> jnp.ndarray:
@@ -302,6 +470,8 @@ class CQT:
 
 @functools.lru_cache(maxsize=8)
 def get_cqt(num_octs: int, bins_per_oct: int, fs: float, audio_len: int,
-            window: str = "kaiser", beta: float = 1.0) -> CQT:
+            window: str = "kaiser", beta: float = 1.0,
+            mode: str = "native") -> CQT:
     """Cached constructor — frame building is host-side work worth reusing."""
-    return CQT(num_octs, bins_per_oct, fs, audio_len, window=window, beta=beta)
+    return CQT(num_octs, bins_per_oct, fs, audio_len, window=window, beta=beta,
+               mode=mode)

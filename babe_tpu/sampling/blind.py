@@ -272,7 +272,7 @@ class BlindSampler(Sampler):
     # ----------------------------------------------- informed / AR variants
 
     def predict_bwe(self, key, ylpf, filt, filt_type: str, rid: bool = False,
-                    test_filter_fit: bool = False):
+                    test_filter_fit: bool = False, compute_sweep: bool = False):
         """Informed BWE incl. the fc_A parametric type
         (reference: blind_bwe_sampler.py:306-364).
 
@@ -280,7 +280,11 @@ class BlindSampler(Sampler):
         every step on the denoised estimates (guidance still uses the fixed
         known filter) and the trajectory of fitted parameters is returned —
         (x, data_denoised, t, data_filters) (reference: predict() at
-        blind_bwe_sampler.py:419-465 with test_filter_fit=True)."""
+        blind_bwe_sampler.py:419-465 with test_filter_fit=True).  With
+        ``compute_sweep`` additionally evaluates the (fc, A) loss-landscape
+        grid at every step and returns
+        (x, data_denoised, t, data_filters, data_norms, data_grads)
+        (reference: blind_bwe_sampler.py:598-616 + predict :467-498)."""
         if not test_filter_fit:
             if filt_type == "fc_A":
                 params = jnp.asarray(filt, dtype=jnp.float32)
@@ -308,6 +312,17 @@ class BlindSampler(Sampler):
         if cfg.start_sigma is not None:
             x = ylpf + x
 
+        def diag(x_den, params):
+            """per-step diagnostics: fitted filter (+ optional sweep grid)."""
+            Xd = apply_stft(jax.lax.stop_gradient(x_den), b.nfft)
+            params = self.fit_params(Xd, Y, params)
+            if compute_sweep:
+                norms, grads = self.compute_sweep(
+                    jax.lax.stop_gradient(x_den), ylpf
+                )
+                return params, (norms, grads)
+            return params, (jnp.zeros(()), jnp.zeros(()))
+
         def half_step(carry, inp):
             x, x_hat, d1, params, key = carry
             t_i, t_ip1, g, phase0 = inp
@@ -319,23 +334,24 @@ class BlindSampler(Sampler):
             h = t_ip1 - t_hat
             x_eval = jnp.where(phase0, x_hat_new, x_hat + h * d1)
             t_eval = jnp.where(phase0, t_hat, t_ip1)
-            sc = self._score(x_eval, t_eval, y=ylpf, degradation=deg)
+            key, k_sc = jax.random.split(key)
+            sc = self._score(x_eval, t_eval, y=ylpf, degradation=deg, key=k_sc)
             x_den = sc * t_eval**2 + x_eval
-            params = self.fit_params(
-                apply_stft(jax.lax.stop_gradient(x_den), b.nfft), Y, params
-            )
+            params, sweep = diag(x_den, params)
             d = -t_eval * sc
             d1_new = jnp.where(phase0, d, d1)
             x_hat_out = jnp.where(phase0, x_hat_new, x_hat)
             x_new = jnp.where(phase0, x, x_hat + h * 0.5 * (d1 + d))
-            return (x_new, x_hat_out, d1_new, params, key), (x_den, params)
+            return (x_new, x_hat_out, d1_new, params, key), (x_den, params, sweep)
 
         n = cfg.T - 1
         rep = lambda a: jnp.repeat(a, 2)
         inps = (rep(t[:-2]), rep(t[1:-1]), rep(gamma[:-2]),
                 jnp.tile(jnp.asarray([True, False]), n))
         carry = (x, jnp.zeros_like(x), jnp.zeros_like(x), fit_init, key)
-        (x, _, _, params, key), (dens, filts) = jax.lax.scan(half_step, carry, inps)
+        (x, _, _, params, key), (dens, filts, sweeps) = jax.lax.scan(
+            half_step, carry, inps
+        )
         # final Euler step
         t_last, g_last = t[cfg.T - 1], gamma[cfg.T - 1]
         key, k_eps = jax.random.split(key)
@@ -343,21 +359,29 @@ class BlindSampler(Sampler):
         x_hat = x + jnp.sqrt(jnp.clip(t_hat**2 - t_last**2, 0.0)) * (
             jax.random.normal(k_eps, x.shape) * cfg.snoise
         )
-        sc = self._score(x_hat, t_hat, y=ylpf, degradation=deg)
+        key, k_sc = jax.random.split(key)
+        sc = self._score(x_hat, t_hat, y=ylpf, degradation=deg, key=k_sc)
         x = x_hat + t_hat**2 * sc
         x_den = sc * t_hat**2 + x_hat
-        params = self.fit_params(
-            apply_stft(jax.lax.stop_gradient(x_den), b.nfft), Y, params
-        )
+        params, sweep_last = diag(x_den, params)
         dens = jnp.concatenate([dens[::2], x_den[None]], axis=0)
         filts = jnp.concatenate([filts[::2], params[None]], axis=0)
+        if compute_sweep:
+            norms = jnp.concatenate([sweeps[0][::2], sweep_last[0][None]], 0)
+            grads = jnp.concatenate([sweeps[1][::2], sweep_last[1][None]], 0)
+            return x, dens, t, filts, norms, grads
         return x, dens, t, filts
 
     def predict_bwe_AR(self, key, ylpf, y_masked, filt, filt_type: str, mask,
-                       smooth_mask_size: int = 0, rid: bool = False):
+                       smooth_mask_size: int = 0, rid: bool = False,
+                       smooth_mask=None):
         """Autoregressive chunk continuation: composite observation
         mask*y_prev + (1-mask)*lpf(x), optional hann-feathered data-consistency
-        inpainting of the overlap (reference: blind_bwe_sampler.py:232-303)."""
+        inpainting of the overlap (reference: blind_bwe_sampler.py:232-303).
+
+        ``smooth_mask`` may be precomputed on host and passed as a traced
+        array — this keeps one jitted program valid for every chunk mask
+        (the AR testers change the mask only on the final short chunk)."""
         if filt_type == "fc_A":
             params = jnp.asarray(filt, dtype=jnp.float32)
             base = lambda x: self.degradation_fcA(x, params)
@@ -368,14 +392,17 @@ class BlindSampler(Sampler):
         y = mask * y_masked + (1 - mask) * ylpf
         deg = lambda x: mask * x + (1 - mask) * base(x)
 
-        if smooth_mask_size > 0:
-            smooth = prepare_smooth_mask(mask, smooth_mask_size)
+        if smooth_mask is not None or smooth_mask_size > 0:
+            smooth = (
+                smooth_mask if smooth_mask is not None
+                else prepare_smooth_mask(mask, smooth_mask_size)
+            )
             y_sm = smooth * y_masked
             # data-consistency replacement on the feathered overlap region
             orig_score = self._score
 
-            def score_with_dc(x, t, y=None, degradation=None):
-                sc = orig_score(x, t, y=y, degradation=degradation)
+            def score_with_dc(x, t, y=None, degradation=None, key=None):
+                sc = orig_score(x, t, y=y, degradation=degradation, key=key)
                 x_hat = sc * t**2 + x
                 x_hat = y_sm + x_hat - smooth * x_hat
                 return (x_hat - x) / t**2

@@ -129,12 +129,19 @@ class Sampler:
             x_hat = self.hpf(x_hat)
         return x_hat
 
-    def _score(self, x, t, y=None, degradation=None):
+    def _score(self, x, t, y=None, degradation=None, key=None):
         """(reference: edm_sampler.py:47-134; blind_bwe_sampler.py:75-209)"""
         cfg = self.cfg
         if y is None:
             x_hat = self._denoise(x, t)
             return (x_hat - x) / t**2
+        if cfg.snr_observations is not None and key is not None:
+            # per-call observation noise for regularization in informed
+            # guidance (reference: blind_bwe_sampler.py:80-86 adds fresh noise
+            # inside get_score when SNR_observations is set)
+            snr = 10.0 ** (cfg.snr_observations / 10.0)
+            sig = jnp.sqrt(jnp.var(y, -1, keepdims=True) / snr)
+            y = y + sig * jax.random.normal(key, y.shape)
         if cfg.xi > 0:
             def loss(x_):
                 x_hat = self._denoise(x_, t)
@@ -188,7 +195,8 @@ class Sampler:
                 x_prime = x_hat + h * d1
                 x_eval = jnp.where(phase0, x_hat_new, x_prime)
                 t_eval = jnp.where(phase0, t_hat, t_ip1)
-                sc = score(x_eval, t_eval)
+                key, k_sc = jax.random.split(key)
+                sc = score(x_eval, t_eval, key=k_sc)
                 d = -t_eval * sc
                 d1_new = jnp.where(phase0, d, d1)
                 x_hat_out = jnp.where(phase0, x_hat_new, x_hat)
@@ -214,7 +222,8 @@ class Sampler:
                 t_hat = t_i + g * t_i
                 eps = jax.random.normal(k_eps, x.shape) * cfg.snoise
                 x_hat = x + jnp.sqrt(jnp.clip(t_hat**2 - t_i**2, 0.0)) * eps
-                sc = score(x_hat, t_hat)
+                key, k_sc = jax.random.split(key)
+                sc = score(x_hat, t_hat, key=k_sc)
                 x_new = x_hat + (t_ip1 - t_hat) * (-t_hat * sc)
                 out = (sc * t_hat**2 + x_hat) if rid else None
                 return (x_new, key), out
@@ -227,7 +236,8 @@ class Sampler:
         t_hat = t_last + g_last * t_last
         eps = jax.random.normal(k_eps, x.shape) * cfg.snoise
         x_hat = x + jnp.sqrt(jnp.clip(t_hat**2 - t_last**2, 0.0)) * eps
-        sc = score(x_hat, t_hat)
+        key, k_sc = jax.random.split(key)
+        sc = score(x_hat, t_hat, key=k_sc)
         x = x_hat + (0.0 - t_hat) * (-t_hat * sc)
         if rid:
             last_den = sc * t_hat**2 + x_hat

@@ -34,6 +34,7 @@ from babe_tpu.diffusion.edm import EDM, EDMParams
 from babe_tpu.ops.filters import design_filter, filter_db_mse
 from babe_tpu.ops.resample import resample
 from babe_tpu.ops.stft import apply_filter, rfftfreq
+from babe_tpu.parallel.mesh import batch_sharding, make_mesh
 from babe_tpu.sampling import degradations as D
 from babe_tpu.sampling.blind import BlindConfig, BlindSampler
 from babe_tpu.sampling.heun import SamplerConfig
@@ -69,11 +70,35 @@ class Tester:
         for mode in ("unconditional", "bwe", "inpainting", "blind_bwe",
                      "real_blind_bwe", "complete", "formal", "mushra"):
             self.paths[mode] = os.path.join(base, mode)
-        self.metrics = ulog.MetricsLogger(base, use_wandb=False,
-                                          config=args.to_dict())
+        # honor the exp.wandb / logging config instead of hard-coding it off
+        # (reference: blind_bwe_tester.py:196-206 sets up a wandb run when
+        # configured; wandb is optional here — JSONL is always written)
+        wandb_cfg = args.exp.get("wandb", {}) or {}
+        use_wandb = bool(wandb_cfg.get("use", False))  # opt-in (offline envs)
+        log_cfg = args.get("logging", {}) or {}
+        if "log" in log_cfg and not bool(log_cfg.get("log", True)):
+            use_wandb = False
+        self.metrics = ulog.MetricsLogger(
+            base, use_wandb=use_wandb, config=args.to_dict(),
+            project=str(wandb_cfg.get("project", "babe-tpu") or "babe-tpu"),
+        )
         self._jit_cache: dict = {}
+        # evaluation mesh: independent test items / OLA chunks are sharded
+        # over all available chips (SURVEY.md §2.10 inference mapping —
+        # "embarrassingly parallel per-chip chunk/test-item sharding");
+        # a 1-device mesh degenerates to the single-chip path
+        self.mesh = make_mesh()
+        self.n_devices = int(self.mesh.devices.size)
 
     # ------------------------------------------------------------- plumbing
+
+    def _shard(self, arr) -> jnp.ndarray:
+        """Place a host batch on the eval mesh, sharded along axis 0
+        (batch size must be a multiple of the device count — callers pad)."""
+        arr = jnp.asarray(arr)
+        if self.n_devices <= 1 or arr.shape[0] % self.n_devices:
+            return arr
+        return jax.device_put(arr, batch_sharding(self.mesh))
 
     def next_key(self):
         self.key, k = jax.random.split(self.key)
@@ -126,9 +151,9 @@ class Tester:
         den, hpf = self._denoiser_fn()
         return BlindSampler(den, self.edm, self.scfg, self.blind_cfg, hpf=hpf)
 
-    def _jitted(self, name: str, fn):
+    def _jitted(self, name: str, fn, **jit_kw):
         if name not in self._jit_cache:
-            self._jit_cache[name] = jax.jit(fn)
+            self._jit_cache[name] = jax.jit(fn, **jit_kw)
         return self._jit_cache[name]
 
     # ------------------------------------------------------------- helpers
@@ -174,7 +199,12 @@ class Tester:
         ucfg = self.args.tester.unconditional
         shape = (int(ucfg.num_samples), int(ucfg.audio_len))
         s = self.sampler()
-        run = self._jitted("uncond", lambda k: s.predict_unconditional(k, shape))
+        jit_kw = {}
+        if self.n_devices > 1 and shape[0] % self.n_devices == 0:
+            # generate samples data-parallel across the eval mesh
+            jit_kw["out_shardings"] = batch_sharding(self.mesh)
+        run = self._jitted("uncond", lambda k: s.predict_unconditional(k, shape),
+                           **jit_kw)
         preds = np.asarray(run(self.next_key()))
         ulog.write_audio_file(preds, self.fs, "unconditional", self.paths["unconditional"])
         return preds
@@ -209,16 +239,32 @@ class Tester:
             ulog.write_audio_file(np.asarray(pred), self.fs, n, self.paths["inpainting"])
         return np.concatenate(outs, 0) if outs else None
 
-    def test_bwe(self, typefilter=None, test_filter_fit=False, compute_sweep=False):
-        """Informed BWE over the test set (reference: blind_bwe_tester.py:582-694)."""
+    def test_bwe(self, typefilter=None, test_filter_fit=None, compute_sweep=None):
+        """Informed BWE over the test set (reference: blind_bwe_tester.py:582-694).
+
+        With ``test_filter_fit`` the filter optimizer runs diagnostically at
+        every step (guidance uses the fixed known filter) and the fitted
+        (fc, A) trajectory is saved per item; with ``compute_sweep`` the
+        (fc, A) loss-landscape grid is evaluated per step and dumped as
+        data_norms<i>.npy / data_grads<i>.npy (reference :646-653)."""
         if self.test_set is None:
             print("No test set specified, skipping bwe test")
             return None
-        typefilter = typefilter or self.args.tester.bandwidth_extension.filter.type
+        be = self.args.tester.bandwidth_extension
+        if test_filter_fit is None:
+            test_filter_fit = bool(be.get("test_filter_fit", False))
+        if compute_sweep is None:
+            compute_sweep = bool(be.get("compute_sweep", False))
+        typefilter = typefilter or be.filter.type
         filt, ftype = self._prepare_informed_filter(typefilter)
+        os.makedirs(self.paths["bwe"], exist_ok=True)
         s = self.sampler()
         run = self._jitted(
-            f"bwe_{ftype}", lambda k, y: s.predict_bwe(k, y, filt, ftype)
+            f"bwe_{ftype}_fit{test_filter_fit}_sw{compute_sweep}",
+            lambda k, y: s.predict_bwe(
+                k, y, filt, ftype,
+                test_filter_fit=test_filter_fit, compute_sweep=compute_sweep,
+            ),
         )
         outs = []
         for i in range(len(self.test_set)):
@@ -232,7 +278,29 @@ class Tester:
             y = self._maybe_add_snr_noise(
                 y, self.args.tester.blind_bwe.get("SNR_observations", "None")
             )
-            pred = np.asarray(run(self.next_key(), y))
+            out = run(self.next_key(), y)
+            if test_filter_fit and compute_sweep:
+                pred, dens, t, filts, norms, grads = out
+                np.save(os.path.join(self.paths["bwe"], f"data_norms{i}.npy"),
+                        np.asarray(norms))
+                np.save(os.path.join(self.paths["bwe"], f"data_grads{i}.npy"),
+                        np.asarray(grads))
+            elif test_filter_fit:
+                pred, dens, t, filts = out
+            else:
+                pred = out
+            if test_filter_fit:
+                ulog.save_trajectory(self.paths["bwe"], n + "_filter_fit",
+                                     denoised=dens, t=t, filters=filts)
+                ulog.plot_filter_response(
+                    [np.asarray(filts[-1]), np.asarray(filt)]
+                    if ftype == "fc_A" else [np.asarray(filts[-1])],
+                    rfftfreq(self.blind_cfg.nfft, self.fs),
+                    os.path.join(self.paths["bwe"], n + "_fitted_filter.png"),
+                    labels=["fitted", "reference"] if ftype == "fc_A"
+                    else ["fitted"],
+                )
+            pred = np.asarray(pred)
             outs.append(pred)
             ulog.write_audio_file(np.asarray(seg), self.fs, n, self.paths["bwe"] + "_original")
             ulog.write_audio_file(np.asarray(y), self.fs, n, self.paths["bwe"] + "_degraded")
@@ -357,13 +425,25 @@ class Tester:
         smooth = 50 if bool(cr.get("inpaint_DC", False)) else 0
         mask = np.ones((1, segL), np.float32)
         mask[:, overlap:] = 0
-        mask = jnp.asarray(mask)
+        # ONE jitted AR-step program for every chunk including the final short
+        # one: the mask and its host-feathered smooth variant are traced
+        # arguments, not closed-over constants (avoids a recompile per file)
+        from babe_tpu.sampling.blind import prepare_smooth_mask
+
+        def _smooth_of(m: np.ndarray) -> jnp.ndarray:
+            if smooth > 0:
+                return jnp.asarray(prepare_smooth_mask(jnp.asarray(m), smooth))
+            return jnp.asarray(m)  # placeholder (unused when feathering off)
+
         run_ar = self._jitted(
-            f"ar_step_{ftype}",
-            lambda k, y, ym: s.predict_bwe_AR(
-                k, y, ym, est_filter, ftype, mask, smooth_mask_size=smooth
+            f"ar_step_{ftype}_dc{smooth}",
+            lambda k, y, ym, m, sm: s.predict_bwe_AR(
+                k, y, ym, est_filter, ftype, m,
+                smooth_mask=sm if smooth > 0 else None,
             ),
         )
+        mask_j = jnp.asarray(mask)
+        mask_sm = _smooth_of(mask)
         L = degraded.shape[-1]
         final = np.zeros_like(degraded)
         ix = 0
@@ -376,32 +456,28 @@ class Tester:
             y_masked = np.zeros((1, segL), np.float32)
             y_masked[..., :overlap] = prev[..., segL - overlap - discard_end :]
             seg = jnp.asarray(degraded[..., ix : ix + segL])
-            pred = np.asarray(run_ar(self.next_key(), seg, jnp.asarray(y_masked)))
+            pred = np.asarray(
+                run_ar(self.next_key(), seg, jnp.asarray(y_masked), mask_j, mask_sm)
+            )
             prev = pred[..., : segL - discard_end]
             final[..., ix : ix + segL - discard_end] = prev
             ix += segL - overlap - discard_end
-        # last (possibly short) segment, zero-padded (reference :840-860)
+        # last (possibly short) segment, zero-padded (reference :840-860) —
+        # same compiled program, different mask DATA (no recompile per file)
         seg = degraded[..., ix:]
         y_masked = np.zeros((1, segL), np.float32)
         y_masked[..., :overlap] = pred[..., -overlap:]
-        last_mask = np.asarray(mask).copy()
+        last_mask = mask.copy()
         if seg.shape[-1] < segL:
             seg_zp = np.pad(seg, ((0, 0), (0, segL - seg.shape[-1])))
             y_masked[..., seg.shape[-1] :] = seg_zp[..., seg.shape[-1] :]
             last_mask[..., seg.shape[-1] :] = 0
         else:
             seg_zp = seg[..., :segL]
-        # convert outside the traced lambda: constants created inside a trace
-        # are tracers and would break the host-side mask feathering
-        last_mask_j = jnp.asarray(last_mask)
-        run_last = jax.jit(
-            lambda k, y, ym: s.predict_bwe_AR(
-                k, y, ym, est_filter, ftype, last_mask_j,
-                smooth_mask_size=smooth,
-            )
+        pred = np.asarray(
+            run_ar(self.next_key(), jnp.asarray(seg_zp), jnp.asarray(y_masked),
+                   jnp.asarray(last_mask), _smooth_of(last_mask))
         )
-        pred = np.asarray(run_last(self.next_key(), jnp.asarray(seg_zp),
-                                   jnp.asarray(y_masked)))
         final[..., ix:] = pred[..., : seg.shape[-1]]
         return final
 
@@ -538,8 +614,11 @@ class Tester:
                         preds.append(np.asarray(pred_b))
                     preds = np.concatenate(preds, 0)
                 else:
-                    # informed chunks share the filter: batch them
+                    # informed chunks share the filter: batch them AND shard
+                    # the chunk batch across the eval mesh (per-chip OLA
+                    # chunk parallelism — SURVEY.md §2.10)
                     cb = max(int(ft.get("chunk_batch", 4)), 1)
+                    cb = -(-cb // self.n_devices) * self.n_devices
                     if segs.shape[0] % cb:  # pad to a full batch (static shapes)
                         reps = cb - segs.shape[0] % cb
                         segs_in = np.concatenate([segs, segs[-1:].repeat(reps, 0)], 0)
@@ -552,7 +631,7 @@ class Tester:
                     preds = []
                     for b0 in range(0, segs_in.shape[0], cb):
                         pred_b = run_b(
-                            self.next_key(), jnp.asarray(segs_in[b0 : b0 + cb])
+                            self.next_key(), self._shard(segs_in[b0 : b0 + cb])
                         )
                         preds.append(np.asarray(pred_b))
                     preds = np.concatenate(preds, 0)[: segs.shape[0]]
@@ -609,36 +688,47 @@ class Tester:
             print(f"filter dB-MSE mean over {len(mses)} items: {np.mean(mses):.3f}")
         return mses
 
-    def test_mushra(self):
+    def test_mushra(self, typefilter="fc_A", compute_sweep=False):
         """Generate MUSHRA listening-test stimuli from a recordings dir
-        (reference: blind_bwe_tester_mushra.py:1001-1212): per item writes the
-        reference (degraded) + blind reconstruction stimuli."""
+        (reference: blind_bwe_tester_mushra.py:1001-1212).  Per item writes
+        the full stimulus set: original (hidden reference), degraded (the
+        lowpass anchor built from tester.blind_bwe.test_filter), and the blind
+        reconstruction, plus the rid trajectory; with compute_sweep also the
+        per-item data_t/data_denoised/data_filters npy dumps (:1119-1125)."""
         from babe_tpu.data.wavio import read_wav, to_mono
 
         bb = self.args.tester.blind_bwe
         files = sorted(
             _glob.glob(os.path.join(str(bb.real_recordings.path), "*.wav"))
         )[: int(bb.real_recordings.num_samples)]
+        da_filter = self._test_filter()
+        os.makedirs(self.paths["mushra"], exist_ok=True)
         s = self.sampler()
         run_blind = self._jitted(
-            "blind_plain", lambda k, y: s.predict_blind_bwe(k, y)
+            "blind_bwe", lambda k, y: s.predict_blind_bwe(k, y, rid=True)
         )
-        for f in files:
+        for i, f in enumerate(files):
             d, fs = read_wav(f)
-            n = os.path.splitext(os.path.basename(f))[0]
-            seg = jnp.asarray(self.resample_audio(to_mono(d), fs))
-            sn = bb.get("sigma_norm", "None")
-            std = jnp.std(seg, -1, keepdims=True)
-            if sn not in (None, "None"):
-                seg = float(sn) * seg / std
-            pred, est = run_blind(self.next_key(), seg)
-            if sn not in (None, "None"):
-                pred = pred * std / float(sn)
-                seg = seg * std / float(sn)
-            ulog.write_audio_file(np.asarray(seg), self.fs, n + "_anchor",
-                                  self.paths["mushra"])
-            ulog.write_audio_file(np.asarray(pred), self.fs, n + "_babe",
-                                  self.paths["mushra"])
+            n = os.path.splitext(os.path.basename(f))[0] + typefilter
+            seg = jnp.asarray(to_mono(d), jnp.float32)[None, : self.audio_len]
+            if seg.shape[-1] < self.audio_len:
+                seg = jnp.pad(seg, ((0, 0), (0, self.audio_len - seg.shape[-1])))
+            y = self.apply_lowpass_fcA(seg, da_filter)
+            y = self._maybe_add_snr_noise(y, bb.get("SNR_observations", "None"))
+            pred, est, dens, t, filts = run_blind(self.next_key(), y)
+            for tag, audio in (("original", seg), ("degraded", y),
+                               ("reconstructed", pred)):
+                ulog.write_audio_file(np.asarray(audio), self.fs, n,
+                                      self.paths["mushra"] + "_" + tag)
+            ulog.save_trajectory(self.paths["mushra"], n + "_rid",
+                                 denoised=dens, t=t, filters=filts)
+            if compute_sweep:
+                np.save(os.path.join(self.paths["mushra"], f"data_t{i}.npy"),
+                        np.asarray(t))
+                np.save(os.path.join(self.paths["mushra"],
+                                     f"data_denoised{i}.npy"), np.asarray(dens))
+                np.save(os.path.join(self.paths["mushra"],
+                                     f"data_filters{i}.npy"), np.asarray(filts))
 
     # ------------------------------------------- additional inverse problems
 
@@ -753,7 +843,11 @@ class Tester:
             elif mode == "formal_test_bwe_small":
                 results[mode] = self.formal_test_bwe_small()
             elif mode == "mushra":
-                results[mode] = self.test_mushra()
+                results[mode] = self.test_mushra(
+                    compute_sweep=bool(
+                        self.args.tester.blind_bwe.get("compute_sweep", False)
+                    )
+                )
             else:
                 raise NotImplementedError(f"tester mode {mode!r}")
         return results

@@ -60,8 +60,15 @@ def make_optimizer(exp_cfg) -> optax.GradientTransformation:
     return optax.chain(*chain)
 
 
-def make_train_step(model, edm: EDM, optimizer, exp_cfg, num_sigma_bins: int = 10):
-    """Returns step(state, batch, key) -> (state, metrics) — pure, jittable."""
+def make_train_step(model, edm: EDM, optimizer, exp_cfg, num_sigma_bins: int = 10,
+                    teacher_apply=None, pd_stage: int = 0):
+    """Returns step(state, batch, key) -> (state, metrics) — pure, jittable.
+
+    With ``teacher_apply`` (a bound (x, cnoise) -> out closure over frozen
+    teacher weights) and an EDMPD diff-params object, the step drives
+    progressive distillation through ``loss_fn_PD`` instead of the standard
+    EDM loss (reference: diff_params/edm_PD.py:220-293 — the reference never
+    wired a teacher into its trainer; this completes that path)."""
     ema_rate = float(exp_cfg.get("ema_rate", 0.9999))
     ema_rampup = float(exp_cfg.get("ema_rampup", 10000))
     batch_size = int(exp_cfg.get("batch", 4))
@@ -73,12 +80,26 @@ def make_train_step(model, edm: EDM, optimizer, exp_cfg, num_sigma_bins: int = 1
 
     num_accum = int(exp_cfg.get("num_accumulation_rounds", 1))
 
-    def loss_fn(params, buffers, batch, key):
-        net = lambda x, cn: model.apply(
-            {"params": params, "buffers": buffers}, x, cn
+    if teacher_apply is not None:
+        assert hasattr(edm, "loss_fn_PD"), (
+            "teacher plumbing requires EDMPD diff params"
         )
-        error2, sigma = edm.loss_fn(key, net, batch, use_cqt_DC_correction=use_dc)
-        return error2.mean(), (error2, sigma)
+
+        def loss_fn(params, buffers, batch, key):
+            net = lambda x, cn: model.apply(
+                {"params": params, "buffers": buffers}, x, cn
+            )
+            error2, sigma = edm.loss_fn_PD(
+                key, net, teacher_apply, batch, pd_stage
+            )
+            return error2.mean(), (error2, sigma)
+    else:
+        def loss_fn(params, buffers, batch, key):
+            net = lambda x, cn: model.apply(
+                {"params": params, "buffers": buffers}, x, cn
+            )
+            error2, sigma = edm.loss_fn(key, net, batch, use_cqt_DC_correction=use_dc)
+            return error2.mean(), (error2, sigma)
 
     def step(state: TrainState, batch, key):
         if num_accum > 1:
@@ -122,6 +143,7 @@ def make_train_step(model, edm: EDM, optimizer, exp_cfg, num_sigma_bins: int = 1
         sig = sigma.reshape(-1)
         bin_idx = jnp.searchsorted(bin_edges, sig)
         sums = jnp.zeros(num_sigma_bins + 1).at[bin_idx].add(per_item)
+        sqsums = jnp.zeros(num_sigma_bins + 1).at[bin_idx].add(per_item**2)
         counts = jnp.zeros(num_sigma_bins + 1).at[bin_idx].add(1.0)
 
         new_state = TrainState(
@@ -132,6 +154,7 @@ def make_train_step(model, edm: EDM, optimizer, exp_cfg, num_sigma_bins: int = 1
             "loss": loss,
             "grad_norm": optax.global_norm(grads),
             "sigma_bin_sums": sums,
+            "sigma_bin_sqsums": sqsums,
             "sigma_bin_counts": counts,
         }
         return new_state, metrics
@@ -143,7 +166,11 @@ class Trainer:
     """Imperative shell around the functional train step
     (role of reference training/trainer.py Trainer)."""
 
-    def __init__(self, args, dset, model, edm: EDM, tester=None, mesh=None):
+    def __init__(self, args, dset, model, edm: EDM, tester=None, mesh=None,
+                 teacher=None):
+        """``teacher``: optional frozen variables dict enabling progressive-
+        distillation training (requires EDMPD diff params; the PD stage is
+        read from diff_params.PD.stage, default 0)."""
         self.args = args
         self.dset = dset  # iterator yielding host numpy batches [B, T] (+fs)
         self.model = model
@@ -151,6 +178,10 @@ class Trainer:
         self.tester = tester
         self.mesh = mesh if mesh is not None else make_mesh(1)
         self.optimizer = make_optimizer(args.exp)
+        teacher_apply = None
+        if teacher is not None:
+            teacher_apply = lambda x, cn: model.apply(teacher, x, cn)
+        self._pd_stage = int(args.get_path("diff_params.PD.stage", 0) or 0)
 
         key = jax.random.PRNGKey(int(args.exp.get("seed", 42)))
         self.key, init_key = jax.random.split(key)
@@ -167,7 +198,9 @@ class Trainer:
         )
 
         num_bins = int(args.get_path("logging.num_sigma_bins", 10))
-        step = make_train_step(model, edm, self.optimizer, args.exp, num_bins)
+        step = make_train_step(model, edm, self.optimizer, args.exp, num_bins,
+                               teacher_apply=teacher_apply,
+                               pd_stage=self._pd_stage)
         bs = batch_sharding(self.mesh)
         rep = replicated(self.mesh)
         state_sh = jax.tree.map(lambda _: rep, self.state)
@@ -313,8 +346,14 @@ class Trainer:
         losses = np.asarray([m["loss"] for m in self._stat_buffer])
         gnorms = np.asarray([m["grad_norm"] for m in self._stat_buffer])
         sums = np.sum([m["sigma_bin_sums"] for m in self._stat_buffer], axis=0)
+        sqsums = np.sum(
+            [m["sigma_bin_sqsums"] for m in self._stat_buffer], axis=0
+        )
         counts = np.sum([m["sigma_bin_counts"] for m in self._stat_buffer], axis=0)
         per_bin = sums / np.maximum(counts, 1.0)
+        per_bin_std = np.sqrt(
+            np.maximum(sqsums / np.maximum(counts, 1.0) - per_bin**2, 0.0)
+        )
         rec = {
             "loss": float(losses.mean()),
             "loss_std": float(losses.std()),
@@ -324,6 +363,19 @@ class Trainer:
             if c > 0:
                 rec[f"error_sigma_{edge:.3g}"] = float(v)
         self.metrics_log.log(rec, step=it)
+        # loss-vs-sigma plot (reference: utils/logging.py plot_loss_by_sigma,
+        # emitted from easy_logging — trainer.py:441-474)
+        used = counts[: len(self.sigma_bins)] > 0
+        if used.any():
+            from babe_tpu.utils import logging as ulog
+
+            ulog.plot_loss_by_sigma(
+                per_bin[: len(self.sigma_bins)][used],
+                per_bin_std[: len(self.sigma_bins)][used],
+                self.sigma_bins[used],
+                os.path.join(str(self.args.model_dir), "train_logs",
+                             "loss_by_sigma.png"),
+            )
         self._stat_buffer.clear()
 
     def freq_logging(self, it: int, batch: np.ndarray):
@@ -383,7 +435,17 @@ class Trainer:
             return
         self.tester.set_variables(self.state.ema, self.state.buffers, it=it)
         try:
-            self.tester.sample_unconditional()
+            preds = self.tester.sample_unconditional()
+            # spectrogram PNG of the demo (reference heavy_logging logs
+            # plot_spectrogram_from_raw_audio — trainer.py:476-523)
+            if preds is not None:
+                from babe_tpu.utils import logging as ulog
+
+                ulog.plot_spectrogram(
+                    preds, self.args.get_path("logging.stft", {}),
+                    os.path.join(str(self.args.model_dir), "train_logs",
+                                 f"uncond_spec_it{it}.png"),
+                )
             modes = list(self.args.get_path("tester.modes", []))
             if "inpainting" in modes:
                 self.tester.test_inpainting()

@@ -51,7 +51,18 @@ def main():
 
     import numpy as np
 
-    run = jax.jit(lambda key: sampler.predict_unconditional(key, (batch, audio_len)))
+    # shard the generated batch across all available chips (per-chip item
+    # parallelism — throughput metric is per chip, wall time uses them all)
+    n_dev = len(jax.devices())
+    jit_kw = {}
+    if n_dev > 1:
+        from babe_tpu.parallel.mesh import batch_sharding, make_mesh
+
+        batch = -(-batch // n_dev) * n_dev  # round up to a full mesh
+        jit_kw["out_shardings"] = batch_sharding(make_mesh(n_dev))
+
+    run = jax.jit(lambda key: sampler.predict_unconditional(key, (batch, audio_len)),
+                  **jit_kw)
 
     key = jax.random.PRNGKey(0)
     t0 = time.time()
@@ -73,7 +84,7 @@ def main():
     wall = min(walls)
 
     audio_seconds = batch * seconds
-    rt_factor = audio_seconds / wall
+    rt_factor = audio_seconds / wall / n_dev  # metric is per chip
     result = {
         "metric": "audio_sec_generated_per_sec_per_chip_35step",
         "value": round(rt_factor, 3),

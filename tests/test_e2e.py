@@ -82,6 +82,36 @@ def test_config_tree_loads():
     assert args2.exp.batch == 8
 
 
+def test_every_tester_config_loads_and_parses():
+    """The full experiment matrix: every conf/tester/*.yaml must load, and
+    its sampler/blind configs must parse (counterparts of every non-stale
+    reference tester config — reference: conf/tester/, ~88 files)."""
+    import glob
+
+    from babe_tpu.sampling.blind import BlindConfig
+    from babe_tpu.sampling.heun import SamplerConfig
+
+    names = sorted(
+        os.path.splitext(os.path.basename(p))[0]
+        for p in glob.glob("conf/tester/*.yaml")
+    )
+    assert len(names) >= 85, f"config matrix shrank: {len(names)}"
+    for n in names:
+        args = default_config([f"tester={n}"])
+        scfg = SamplerConfig.from_args(args)
+        assert scfg.T > 0 and scfg.order in (1, 2), n
+        if "blind_bwe" in args.tester:
+            bcfg = BlindConfig.from_args(args)
+            assert bcfg.max_iter > 0 and len(bcfg.init_fc) == len(bcfg.init_A), n
+        for mode in args.tester.modes:
+            assert mode in (
+                "unconditional", "inpainting", "bwe", "blind_bwe",
+                "real_blind_bwe", "real_blind_bwe_complete", "formal_test_bwe",
+                "formal_test_bwe_small", "mushra", "declipping",
+                "phase_retrieval", "comp_sens",
+            ), (n, mode)
+
+
 def test_unconditional_mode(tester):
     preds = tester.sample_unconditional()
     assert preds.shape == (2, LEN)

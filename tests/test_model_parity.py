@@ -116,3 +116,34 @@ def test_fused_denoiser_matches_unfused(rng):
     fused = model.fused_denoiser(v, edm)(x, sigma)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
                                atol=2e-4, rtol=1e-3)
+
+
+def test_forward_parity_compat_frame(rng):
+    """Full forward parity through the checkpoint-compatible CQT frame
+    (mode="oct_pow2") — the exact transform published .pt weights expect."""
+    import torch_ref
+
+    args = make_args(False)
+    args.network.cqt["mode"] = "oct_pow2"
+    old = torch_ref.STUB_FRAME_MODE
+    torch_ref.STUB_FRAME_MODE = "oct_pow2"
+    try:
+        ref = build_reference_model(args)
+    finally:
+        torch_ref.STUB_FRAME_MODE = old
+    ref.eval()
+
+    model = CQTDiffPlus.from_config(args)
+    assert model.cqt.mode == "oct_pow2"
+    template = model.init(jax.random.PRNGKey(0), batch=2)
+    converted = convert_state_dict(ref.state_dict())
+    variables = fill_variables(template, converted, strict=True)
+
+    x = rng.standard_normal((2, LEN)).astype(np.float32) * 0.1
+    cnoise = np.array([[-0.5], [0.25]], dtype=np.float32)
+    with torch.no_grad():
+        y_ref = ref(torch.from_numpy(x), torch.from_numpy(cnoise)).numpy()
+    y_jax = np.asarray(model.apply(variables, jnp.asarray(x), jnp.asarray(cnoise)))
+    denom = np.abs(y_ref).max() + 1e-12
+    rel = np.abs(y_jax - y_ref).max() / denom
+    assert rel < 5e-4, f"compat-frame forward mismatch: max rel err {rel}"

@@ -23,16 +23,24 @@ from babe_tpu.ops.cqt import CQT
 
 REFERENCE_NET = "/root/reference/networks/cqtdiff+.py"
 
+# frame construction used by the stub when the reference model builds it
+# (set to "oct_pow2" to run model parity through the checkpoint-compatible
+# frame — tests/test_model_parity.py::test_forward_parity_compat_frame)
+STUB_FRAME_MODE = "native"
+
 
 class TorchCQTStub:
     """torch re-execution of our NSGT plans (list API of cqt_nsgt_pytorch)."""
 
     def __init__(self, num_octs, bins_per_oct, mode="oct", window=("kaiser", 1),
-                 fs=22050, audio_len=44100, dtype=torch.float32, device="cpu"):
+                 fs=22050, audio_len=44100, dtype=torch.float32, device="cpu",
+                 frame_mode=None):
+        if frame_mode is None:
+            frame_mode = STUB_FRAME_MODE
         assert mode == "oct"
         win, beta = window if isinstance(window, tuple) else (window, 1.0)
         self.cqt = CQT(num_octs, bins_per_oct, float(fs), int(audio_len),
-                       window=win, beta=float(beta))
+                       window=win, beta=float(beta), mode=frame_mode)
 
     def fwd(self, x: torch.Tensor):
         # x: [B, 1, T] -> list (lowest octave first) of [B, 1, bpo, M] complex
@@ -43,7 +51,10 @@ class TorchCQTStub:
         X = torch.fft.rfft(x.float(), dim=-1)
         outs = []
         for p in self.cqt._plans:
-            sl = X[:, torch.from_numpy(p.idx.astype(np.int64))] * torch.from_numpy(p.w_ana)
+            sl = X[:, torch.from_numpy(p.idx.astype(np.int64))]
+            if p.conj is not None:  # compat mode: beyond-Nyquist mirror reads
+                sl = torch.where(torch.from_numpy(p.conj), sl.conj(), sl)
+            sl = sl * torch.from_numpy(p.w_ana)
             outs.append(torch.fft.ifft(sl, dim=-1).unsqueeze(1))
         return outs
 
@@ -52,9 +63,26 @@ class TorchCQTStub:
         Y = torch.zeros((B, self.cqt.Ls // 2 + 1), dtype=torch.complex64)
         for p, c in zip(self.cqt._plans, coeffs):
             sl = torch.fft.fft(c.squeeze(1), dim=-1) * torch.from_numpy(p.w_syn)
+            flat = sl.reshape(B, -1)
+            if p.conj is not None:
+                flat = torch.where(
+                    torch.from_numpy(p.conj.reshape(-1)), flat.conj(), flat
+                )
+                # self-mirrored bins (0 / Nyquist) get value + conj(value)
+                lfull = np.where(p.conj.reshape(-1),
+                                 self.cqt.Ls - p.idx.reshape(-1),
+                                 p.idx.reshape(-1))
+                selfm = (lfull % self.cqt.Ls == 0) | (lfull == self.cqt.Ls // 2)
+                used = (p.w_syn.reshape(-1) != 0) | (p.w_ana.reshape(-1) != 0)
+                sm = torch.from_numpy(selfm & used)
+                Y.index_add_(
+                    1,
+                    torch.from_numpy(p.idx.reshape(-1)[selfm & used].astype(np.int64)),
+                    flat[:, sm].conj(),
+                )
             Y.index_add_(
                 1, torch.from_numpy(p.idx.reshape(-1).astype(np.int64)),
-                sl.reshape(B, -1),
+                flat,
             )
         x = torch.fft.irfft(Y, n=self.cqt.Ls, dim=-1)
         return x.unsqueeze(1)
