@@ -44,7 +44,7 @@ def _resolve_checkpoint(args) -> str:
 
 
 def _main(args):
-    from babe_tpu.diffusion.edm import EDM
+
     from babe_tpu.registry import get_obj_by_name
 
     dirname = str(args.model_dir)
@@ -52,7 +52,9 @@ def _main(args):
 
     model_cls = get_obj_by_name(args.network.callable)
     model = model_cls.from_config(args)
-    diff_params = EDM.from_config(args, cqt_hpf=model.apply_hpf_DC)
+    dp_cls = get_obj_by_name(args.diff_params.get("callable",
+                                                  "babe_tpu.diffusion.edm.EDM"))
+    diff_params = dp_cls.from_config(args, cqt_hpf=model.apply_hpf_DC)
 
     test_set = None
     if args.get_path("dset.test.callable", None):

@@ -252,3 +252,63 @@ def test_formal_test_bwe_ola(tester, tmp_path):
     mtimes = {f: os.path.getmtime(out_dir / f) for f in outs}
     tester.formal_test_bwe(typefilter="fc_A")
     assert all(os.path.getmtime(out_dir / f) == mtimes[f] for f in outs)
+
+
+def test_mushra_mode(tester, tmp_path):
+    """Full MUSHRA stimulus set: original/degraded/reconstructed + rid + the
+    compute_sweep npy dumps (reference: blind_bwe_tester_mushra.py:1001-1212)."""
+    rng = np.random.default_rng(11)
+    recs = tmp_path / "mushra_recs"
+    os.makedirs(recs)
+    write_wav(str(recs / "m0.wav"),
+              rng.standard_normal(LEN).astype(np.float32) * 0.05, FS)
+    bb = tester.args.tester.blind_bwe
+    bb.real_recordings["path"] = str(recs)
+    bb.real_recordings["num_samples"] = 1
+    tester.test_mushra(compute_sweep=True)
+    base = tester.paths["mushra"]
+    for tag in ("original", "degraded", "reconstructed"):
+        assert os.path.exists(os.path.join(base + "_" + tag, "m0fc_A.wav")), tag
+    assert os.path.exists(os.path.join(base, "m0fc_A_rid.npz"))
+    for n in ("data_t0.npy", "data_denoised0.npy", "data_filters0.npy"):
+        assert os.path.exists(os.path.join(base, n)), n
+
+
+def test_bwe_filter_fit_and_sweep(tester):
+    """Informed BWE with diagnostic filter fitting + per-step (fc, A)
+    loss-landscape dumps (reference: blind_bwe_tester.py:646-653)."""
+    out = tester.test_bwe(typefilter="fc_A", test_filter_fit=True,
+                          compute_sweep=True)
+    assert out is not None and np.all(np.isfinite(out))
+    base = tester.paths["bwe"]
+    assert os.path.exists(os.path.join(base, "data_norms0.npy"))
+    assert os.path.exists(os.path.join(base, "data_grads0.npy"))
+    norms = np.load(os.path.join(base, "data_norms0.npy"))
+    # [T steps, fc grid, A grid], finite
+    assert norms.ndim == 3 and norms.shape[0] == tester.scfg.T
+    assert np.isfinite(norms).all()
+    assert os.path.exists(os.path.join(base, "item0_filter_fit.npz"))
+
+
+def test_formal_test_bwe_ar(tester, tmp_path):
+    """AR-chunked formal evaluation: ONE compiled AR-step program serves all
+    chunks including the final short one (round-1 weak #6 fixed)."""
+    rng = np.random.default_rng(13)
+    in_dir, out_dir = tmp_path / "in_ar", tmp_path / "out_ar"
+    os.makedirs(in_dir)
+    write_wav(str(in_dir / "ar0.wav"),
+              rng.standard_normal(int(LEN * 2.5)).astype(np.float32) * 0.05, FS)
+    ft = tester.args.tester.formal_test
+    ft["path"] = str(in_dir)
+    ft["folder"] = str(out_dir)
+    ft["use_AR"] = True
+    tester.args.tester.complete_recording["overlap"] = 1024 / FS
+    tester.formal_test_bwe(typefilter="fc_A")
+    from babe_tpu.data.wavio import read_wav
+
+    audio, fs = read_wav(str(out_dir / "ar0.wav"))
+    assert audio.shape[-1] == int(LEN * 2.5)
+    assert np.isfinite(audio).all()
+    # the AR step program was compiled once, reused for the last chunk
+    ar_keys = [k for k in tester._jit_cache if k.startswith("ar_step_")]
+    assert len(ar_keys) == 1

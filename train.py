@@ -16,8 +16,7 @@ def _main(args):
     import jax
 
     from babe_tpu.data.datasets import setup_dataset
-    from babe_tpu.diffusion.edm import EDM
-    from babe_tpu.models.cqtdiff import CQTDiffPlus
+    from babe_tpu.models.cqtdiff import CQTDiffPlus  # noqa: F401 (registry)
     from babe_tpu.parallel.mesh import make_mesh
     from babe_tpu.registry import get_obj_by_name
     from babe_tpu.training.trainer import Trainer
@@ -29,7 +28,29 @@ def _main(args):
     dset = setup_dataset(args)
     model_cls = get_obj_by_name(args.network.callable)
     model = model_cls.from_config(args)
-    diff_params = EDM.from_config(args, cqt_hpf=model.apply_hpf_DC)
+    # resolve the diff-params family from config (EDM / EDMEps / EDMPD —
+    # reference wires it through dnnlib the same way, utils/setup.py:47-51)
+    dp_cls = get_obj_by_name(args.diff_params.get("callable",
+                                                  "babe_tpu.diffusion.edm.EDM"))
+    diff_params = dp_cls.from_config(args, cqt_hpf=model.apply_hpf_DC)
+
+    # progressive distillation: load frozen teacher weights when configured
+    # (drives EDMPD.loss_fn_PD through the trainer's teacher plumbing)
+    teacher = None
+    teacher_ckpt = args.get_path("diff_params.PD.teacher_checkpoint", None)
+    if teacher_ckpt not in (None, "None", ""):
+        import pickle
+
+        import jax.numpy as jnp
+
+        with open(str(teacher_ckpt), "rb") as f:
+            payload = pickle.load(f)
+        teacher = {
+            "params": jax.tree.map(jnp.asarray,
+                                   payload.get("ema", payload["params"])),
+            "buffers": jax.tree.map(jnp.asarray, payload.get("buffers", {})),
+        }
+        print(f"loaded PD teacher from {teacher_ckpt}")
 
     tester = None
     if args.get_path("tester.do_test", False):
@@ -45,7 +66,8 @@ def _main(args):
     n_dev = len(jax.devices())
     mesh = make_mesh(n_dev if n_batch % n_dev == 0 else 1)
     print(f"training on {mesh.devices.size} device(s), batch {n_batch}")
-    trainer = Trainer(args, dset, model, diff_params, tester=tester, mesh=mesh)
+    trainer = Trainer(args, dset, model, diff_params, tester=tester, mesh=mesh,
+                      teacher=teacher)
     print(f"total params: {trainer.total_params/1e6:.2f} M")
     total_its = args.exp.get("total_its", None)  # None = run forever (reference)
     trainer.training_loop(max_its=None if total_its in (None, "None") else int(total_its))
