@@ -149,8 +149,12 @@ class Sampler:
 
             (nval, x_hat), grads = jax.value_and_grad(loss, has_aux=True)(x)
             normguide = jnp.linalg.norm(grads) / cfg.audio_len**0.5
-            s = cfg.xi / (normguide + 1e-6)
-            score = (x_hat - x) / t**2 - s * grads / t
+            # base-sampler scaling: xi / (normguide * t + 1e-6)
+            # (reference edm_sampler.py:80; NB the BLIND sampler uses
+            # xi/(normguide+1e-6) * grads / t — blind.py keeps that form,
+            # blind_bwe_sampler.py:127-135)
+            s = cfg.xi / (normguide * t + 1e-6)
+            score = (x_hat - x) / t**2 - s * grads
             if cfg.data_consistency:
                 x_dc = score * t**2 + x
                 x_dc = y + x_dc - degradation(x_dc)
@@ -160,7 +164,11 @@ class Sampler:
         x_hat = y + x_hat - degradation(x_hat)  # replacement method
         return (x_hat - x) / t**2
 
-    def _run(self, key, shape, y=None, degradation=None, rid=False):
+    def _run(self, key, shape, y=None, degradation=None, rid=False,
+             x_init=None):
+        """``x_init``: optional explicit initial state (already scaled by
+        t[0]); replaces the prior draw — used for warm-start experiments and
+        for deterministic golden-trajectory tests against the reference."""
         cfg = self.cfg
         # warm start only when the observation lives in signal space
         # (phase-retrieval/resample observations have different shapes)
@@ -174,9 +182,12 @@ class Sampler:
             t = self.edm.create_schedule(cfg.T)
         gamma = self.edm.get_gamma(t)
         key, k0 = jax.random.split(key)
-        x = jax.random.normal(k0, shape) * t[0]
-        if warm:
-            x = y + x
+        if x_init is not None:
+            x = x_init
+        else:
+            x = jax.random.normal(k0, shape) * t[0]
+            if warm:
+                x = y + x
 
         score = partial(self._score, y=y, degradation=degradation)
 
@@ -247,13 +258,16 @@ class Sampler:
 
     # ------------------------------------------------------------- public
 
-    def predict_unconditional(self, key, shape, rid: bool = False):
+    def predict_unconditional(self, key, shape, rid: bool = False,
+                              x_init=None):
         """(reference: edm_sampler.py:136-143)"""
-        return self._run(key, shape, rid=rid)
+        return self._run(key, shape, rid=rid, x_init=x_init)
 
-    def predict_conditional(self, key, y, degradation, rid: bool = False):
+    def predict_conditional(self, key, y, degradation, rid: bool = False,
+                            x_init=None):
         """(reference: edm_sampler.py:157-164)"""
-        return self._run(key, y.shape, y=y, degradation=degradation, rid=rid)
+        return self._run(key, y.shape, y=y, degradation=degradation, rid=rid,
+                         x_init=x_init)
 
     def predict_resample(self, key, y, shape, degradation, rid: bool = False):
         return self._run(key, shape, y=y, degradation=degradation, rid=rid)

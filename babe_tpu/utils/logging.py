@@ -54,6 +54,7 @@ def plot_spectrogram(x, stft_cfg: Any, out_path: str) -> str | None:
         x = x[0]
     win = int(stft_cfg.get("win_size", 1024)) if hasattr(stft_cfg, "get") else 1024
     hop = int(stft_cfg.get("hop_size", 256)) if hasattr(stft_cfg, "get") else 256
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     f, t, S = ss.stft(x, nperseg=win, noverlap=win - hop)
     fig, ax = plt.subplots(figsize=(10, 4))
     ax.imshow(
@@ -94,6 +95,7 @@ def plot_loss_by_sigma(means, stds, bins, out_path: str) -> str | None:
     plt = _mpl()
     if plt is None:
         return None
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     fig, ax = plt.subplots(figsize=(6, 4))
     means = np.asarray(means, dtype=float)
     stds = np.asarray(stds, dtype=float)
@@ -115,6 +117,7 @@ def plot_filter_response(params_list, freqs, out_path: str, labels=None) -> str 
     from babe_tpu.ops.filters import design_filter
     import jax.numpy as jnp
 
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     fig, ax = plt.subplots(figsize=(6, 4))
     for i, p in enumerate(params_list):
         H = np.asarray(design_filter(jnp.asarray(p[0]), jnp.asarray(p[1]),
