@@ -116,6 +116,14 @@ class Tester:
                 extract_network_state,
             )
 
+            if getattr(getattr(self.model, "cqt", None), "mode", None) == "native":
+                print(
+                    "WARNING: loading a PyTorch checkpoint with the 'native' "
+                    "CQT frame. Published reference weights were trained with "
+                    "the cqt_nsgt_pytorch frame — use network=cqtdiff+_ckpt "
+                    "(network.cqt.mode=oct_pow2) for faithful reconstruction."
+                )
+
             ckpt = torch.load(path, map_location="cpu", weights_only=False)
             converted = convert_state_dict(extract_network_state(ckpt, prefer="ema"))
             self.variables = fill_variables(template, converted, strict=True)
