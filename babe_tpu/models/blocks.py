@@ -24,6 +24,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from babe_tpu.ops.conv_kernels import (
+    _round128,
+    conv2d_same,
+    fused_stage_active,
+    fused_stage_padded,
+)
+
 SQRT2 = math.sqrt(2.0)
 
 
@@ -62,6 +69,35 @@ class Linear(nn.Module):
         return y
 
 
+class _Conv2dParams(nn.Module):
+    """Parameter holder + dispatch for Conv2d.  The param tree matches
+    flax.linen.Conv exactly ("kernel" HWIO + optional "bias") so the PyTorch
+    checkpoint converter (babe_tpu/utils/torch_ckpt.py) is unaffected; the
+    compute goes through babe_tpu.ops.conv_kernels (Pallas implicit-GEMM for
+    the hot (5,3) dilated convs on TPU, matmul for 1x1, lax.conv otherwise)."""
+
+    features: int
+    kernel: tuple[int, int]
+    dilation: tuple[int, int]
+    use_bias: bool
+    init_weight: float
+    in_features: int | None = None  # for kernel-only access (x=None)
+
+    @nn.compact
+    def __call__(self, x):
+        kf, kt = self.kernel
+        cin = self.in_features if x is None else x.shape[-1]
+        k = self.param("kernel", kaiming_uniform(self.init_weight),
+                       (kf, kt, cin, self.features))
+        if x is None:
+            return k
+        y = conv2d_same(x, k.astype(x.dtype), self.dilation)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + b.astype(y.dtype)
+        return y
+
+
 class Conv2d(nn.Module):
     """2-D conv on (B, F, T, C); kernel (kf, kt), dilation along F
     (networks/cqtdiff+.py:66-88). 'SAME' padding, odd kernels only."""
@@ -72,21 +108,17 @@ class Conv2d(nn.Module):
     use_bias: bool = False
     init_weight: float = INIT_W
 
+    in_features: int | None = None
+
     @nn.compact
     def __call__(self, x):
-        conv = nn.Conv(
-            self.features,
-            kernel_size=self.kernel,
-            kernel_dilation=self.dilation,
-            padding="SAME",
-            use_bias=self.use_bias,
-            kernel_init=kaiming_uniform(self.init_weight),
-            bias_init=nn.initializers.zeros,
-            dtype=x.dtype,
-            param_dtype=jnp.float32,
-            name="conv",
-        )
-        return conv(x)
+        """x=None returns the HWIO kernel parameter (requires in_features) —
+        used by the fused ResnetBlock path to feed the Pallas stage kernel
+        without changing the parameter tree."""
+        return _Conv2dParams(
+            self.features, self.kernel, self.dilation, self.use_bias,
+            self.init_weight, in_features=self.in_features, name="conv",
+        )(x)
 
 
 class Conv1d(nn.Module):
@@ -127,6 +159,8 @@ class BiasFreeGroupNorm(nn.Module):
     @nn.compact
     def __call__(self, x):
         gamma = self.param("gamma", nn.initializers.ones, (self.num_features,))
+        if x is None:
+            return gamma  # param-only access for the fused Pallas path
         B, F, T, C = x.shape
         g = self.num_groups
         cg = C // g
@@ -298,18 +332,23 @@ class ResnetBlock(nn.Module):
             h = TimeAttentionBlock(self.attention_dict, self.Fdim, name="attn_block")(h)
             x = (i_x + h * scale[:, None, None, :]) / SQRT2
 
-        for i in range(self.num_dils):
-            x0 = x
-            h = x
-            if self.use_norm:
-                h = BiasFreeGroupNorm(N, 8, name=f"norm_{i}")(h)
-            gamma = Linear(N, name=f"affine_{i}")(sigma_emb)
-            scale = Linear(N, init_weight=INIT_ZERO, name=f"gate_{i}")(sigma_emb)
-            h = h * (gamma[:, None, None, :] + 1.0)
-            h = Conv2d(
-                N, self.kernel_size, dilation=(2**i, 1), name=f"H_{i}"
-            )(nn.gelu(h, approximate=False))
-            x = (x0 + h * scale[:, None, None, :]) / SQRT2
+        if (self.kernel_size == (5, 3) and self.use_norm
+                and self.num_dils > 0 and fused_stage_active()):
+            x = self._fused_dil_chain(x, sigma_emb, N)
+        else:
+            for i in range(self.num_dils):
+                x0 = x
+                h = x
+                if self.use_norm:
+                    h = BiasFreeGroupNorm(N, 8, name=f"norm_{i}")(h)
+                gamma = Linear(N, name=f"affine_{i}")(sigma_emb)
+                scale = Linear(N, init_weight=INIT_ZERO,
+                               name=f"gate_{i}")(sigma_emb)
+                h = h * (gamma[:, None, None, :] + 1.0)
+                h = Conv2d(
+                    N, self.kernel_size, dilation=(2**i, 1), name=f"H_{i}"
+                )(nn.gelu(h, approximate=False))
+                x = (x0 + h * scale[:, None, None, :]) / SQRT2
 
         if self.proj_place == "after" and N != self.dim_out:
             x = Conv2d(self.dim_out, (1, 1), name="proj_out")(x)
@@ -318,6 +357,57 @@ class ResnetBlock(nn.Module):
         if self.dim != self.dim_out:
             res = Conv2d(self.dim_out, (1, 1), name="res_conv")(x_in)
         return (x + res) / SQRT2
+
+    def _fused_dil_chain(self, x, sigma_emb, N):
+        """Dilation stack via the fused Pallas stage kernel (one pass per
+        dilation: GN-normalize + sigma-affine + gelu + dilated conv +
+        gated residual, with the next stage's GN moments emitted by the
+        kernel).  Parameter tree identical to the unfused loop."""
+        B, F, T, C = x.shape
+        g = 8
+        cg = N // g
+        n = F * T * cg
+        Cp = _round128(N)
+        T8 = -(-T // 8) * 8
+        dt = x.dtype
+
+        def denom_from(s1, s2):
+            # same unbiased torch-x.std() math as BiasFreeGroupNorm
+            m = (s1[:, :N] / (F * T)).reshape(B, g, cg).mean(-1)
+            sq = (s2[:, :N] / (F * T)).reshape(B, g, cg).mean(-1)
+            var = (sq - m * m) * (n / (n - 1.0))
+            std = jnp.sqrt(jnp.maximum(var, 0.0))
+            return jnp.repeat(std + 1e-7, cg, axis=-1)  # (B, N)
+
+        x32 = x.astype(jnp.float32)
+        s1 = jnp.sum(x32, axis=(1, 2))
+        s2 = jnp.sum(x32 * x32, axis=(1, 2))
+
+        xp = jnp.pad(x, ((0, 0), (2, 2), (8, 8 + (T8 - T)), (0, Cp - N)))
+        for i in range(self.num_dils):
+            d = 2 ** i
+            dout = 2 ** (i + 1) if i + 1 < self.num_dils else 0
+            gamma_n = BiasFreeGroupNorm(N, g, name=f"norm_{i}")(None)
+            gamma = Linear(N, name=f"affine_{i}")(sigma_emb)
+            scale = Linear(N, init_weight=INIT_ZERO,
+                           name=f"gate_{i}")(sigma_emb)
+            denom = denom_from(s1, s2)
+            a_vec = (gamma_n[None, :] * (gamma.astype(jnp.float32) + 1.0)
+                     / denom)
+            s_vec = scale.astype(jnp.float32)
+            pad = Cp - N
+            a_vec = jnp.pad(a_vec, ((0, 0), (0, pad)))
+            s_vec = jnp.pad(s_vec, ((0, 0), (0, pad)))
+            k = Conv2d(N, (5, 3), dilation=(d, 1), in_features=N,
+                       name=f"H_{i}")(None)  # (5,3,N,N)
+            wk = jnp.pad(k.astype(dt),
+                         ((0, 0), (0, 0), (0, pad), (0, pad)))
+            wk = wk.reshape(5, 3 * Cp, Cp)
+            xp, mom = fused_stage_padded(
+                xp, wk, a_vec, s_vec, (d, dout, F, T, N, Cp))
+            s1, s2 = mom[0], mom[1]
+
+        return xp[:, :, 8:8 + T, :N]
 
 
 _RESAMPLE_KERNELS = {

@@ -1,0 +1,615 @@
+"""TPU conv kernels for the CQTDiff+ hot path.
+
+Motivation (measured, tools/trace_nfe.py + tools/conv_budget.py): 95 % of the
+per-NFE device time of the flagship sampler is convolution fusions, and XLA's
+lowering of the model's frequency-dilated (5,3) convs collapses at the small-
+channel levels — 14–29 TF/s at (8,192,320,96), 31–43 TF/s at (8,448,20,256),
+16–18 TF/s at (8,64,1280,64) — while its 1x1 convs run ~4x above the HBM
+bandwidth floor.  (Reference architecture: networks/cqtdiff+.py:382-493 —
+the ResnetBlock dilated conv stack this kernel serves.)
+
+Two replacements, both drop-in 'SAME' NHWC convolutions:
+
+* ``conv1x1``: a plain reshape+matmul — measured at the bandwidth floor
+  (0.26 ms vs lax.conv's 0.99 ms at (8,64,1280,64)).
+* ``conv5x3_dilated``: a Pallas implicit-GEMM kernel.  The (kf=5) x (kt=3)
+  taps are gathered into a VMEM patch matrix per kf-row (K = 3C contraction
+  feeding the MXU instead of XLA's per-tap K = C), tiles stream HBM->VMEM
+  with double-buffered async DMA (the F-halo of the dilated window is read
+  once per tile, not once per tap), and accumulation is fp32.
+
+Both carry a ``jax.custom_vjp`` whose backward is built with
+``jax.linear_transpose`` (no forward recomputation), so they are safe inside
+the guided-sampling vjp (testing/blind_bwe_sampler.py:75-135 semantics).
+
+Backend selection: ``set_backend("pallas"|"xla"|"auto")`` or env
+``BABE_CONV_BACKEND``; "auto" uses Pallas on TPU when the shape tiles, XLA
+otherwise (CPU tests exercise the kernel in interpret mode explicitly).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BACKEND = os.environ.get("BABE_CONV_BACKEND", "auto")
+_INTERPRET = False  # tests flip this to run the kernel on CPU
+
+
+def set_backend(name: str) -> None:
+    global _BACKEND
+    assert name in ("auto", "pallas", "xla")
+    _BACKEND = name
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu", "gpu")
+    except Exception:
+        return False
+
+
+# --------------------------------------------------------------- reference
+
+
+def conv_xla(x, w, dilation=(1, 1)):
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", rhs_dilation=tuple(dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def conv1x1(x, w):
+    """1x1 'SAME' conv as a matmul (w: [1,1,Cin,Cout]); fp32 accumulation
+    like the TPU conv unit, output in x.dtype."""
+    y = jnp.einsum("bftc,cn->bftn", x, w[0, 0].astype(x.dtype),
+                   preferred_element_type=jnp.float32)
+    return y.astype(x.dtype)
+
+
+# ------------------------------------------------------------ tile planning
+
+
+def _divisors_desc(n):
+    return [k for k in range(n, 0, -1) if n % k == 0]
+
+
+def _plan(B, F, T, C, N, d, itembytes=2, vmem_budget=10 * 2**20):
+    """Pick (BF, BT, per_slab, T8) for the kernel, or None if untileable.
+
+    Minimizes total HBM read bytes (halo amplification), tie-breaking toward
+    larger M = BF*BT (MXU efficiency)."""
+    T8 = -(-T // 8) * 8
+    best = None
+    for BT in _divisors_desc(T8):
+        # HBM DMA windows must be 8-aligned along the sublane (T) dim
+        if BT > 512 or BT % 8:
+            continue
+        for BF in _divisors_desc(F):
+            M = BF * BT
+            if not (128 <= M <= 4096):
+                continue
+            per_slab = d >= BF
+            nrows = 5 * BF if per_slab else BF + 4 * d
+            vmem = (
+                2 * nrows * (BT + 8) * C * itembytes      # xbuf
+                + M * 3 * C * itembytes                    # patch
+                + M * N * 4                                # acc (f32)
+                + 2 * M * N * itembytes                    # obuf
+                + 5 * 3 * C * N * itembytes                # weights
+            )
+            if vmem > vmem_budget:
+                continue
+            ntiles = B * (F // BF) * (T8 // BT)
+            read = ntiles * nrows * (BT + 2) * C
+            key = (read, -M)
+            if best is None or key < best[0]:
+                best = (key, (BF, BT, per_slab, T8))
+    return None if best is None else best[1]
+
+
+# ------------------------------------------------------------ pallas kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _build_call(B, F, T8, C, N, d, BF, BT, per_slab, in_dtype_name,
+                out_dtype_name, interpret):
+    in_dtype = jnp.dtype(in_dtype_name)
+    out_dtype = jnp.dtype(out_dtype_name)
+    BTp = BT + 8  # 8-aligned T halo window (1 left + BT + 7 right)
+    nF, nT = F // BF, T8 // BT
+    ntiles = B * nF * nT
+    nrows = 5 * BF if per_slab else BF + 4 * d
+    M = BF * BT
+
+    def kernel(xp_ref, wk_ref, out_ref, xbuf, patch, acc, obuf, sin, sout):
+        def coords(t):
+            b = t // (nF * nT)
+            r = t % (nF * nT)
+            return b, r // nT, r % nT
+
+        def dma_ins(slot, t):
+            b, i, j = coords(t)
+            f0 = i * BF
+            t0 = j * BT
+            if per_slab:
+                return [
+                    pltpu.make_async_copy(
+                        xp_ref.at[b, pl.ds(f0 + kf * d, BF), pl.ds(t0, BTp), :],
+                        xbuf.at[slot, pl.ds(kf * BF, BF)],
+                        sin.at[slot, kf],
+                    )
+                    for kf in range(5)
+                ]
+            return [
+                pltpu.make_async_copy(
+                    xp_ref.at[b, pl.ds(f0, nrows), pl.ds(t0, BTp), :],
+                    xbuf.at[slot],
+                    sin.at[slot, 0],
+                )
+            ]
+
+        def dma_out(slot, t):
+            b, i, j = coords(t)
+            return pltpu.make_async_copy(
+                obuf.at[slot],
+                out_ref.at[b, pl.ds(i * BF, BF), pl.ds(j * BT, BT), :],
+                sout.at[slot],
+            )
+
+        for c in dma_ins(0, 0):
+            c.start()
+
+        def body(t, carry):
+            slot = t % 2
+
+            @pl.when(t + 1 < ntiles)
+            def _():
+                for c in dma_ins((t + 1) % 2, t + 1):
+                    c.start()
+
+            for c in dma_ins(slot, t):
+                c.wait()
+
+            for kf in range(5):
+                base = kf * BF if per_slab else kf * d
+                for kt in range(3):
+                    sl = xbuf[slot, pl.ds(base, BF), pl.ds(kt, BT), :]
+                    patch[:, kt * C:(kt + 1) * C] = sl.reshape(M, C)
+                pk = jnp.dot(patch[:], wk_ref[kf],
+                             preferred_element_type=jnp.float32)
+                if kf == 0:
+                    acc[:] = pk
+                else:
+                    acc[:] = acc[:] + pk
+
+            @pl.when(t >= 2)
+            def _():
+                dma_out(slot, t - 2).wait()
+
+            obuf[slot] = acc[:].astype(out_dtype).reshape(BF, BT, N)
+            dma_out(slot, t).start()
+            return carry
+
+        jax.lax.fori_loop(0, ntiles, body, 0)
+
+        @pl.when(ntiles >= 2)
+        def _():
+            dma_out((ntiles - 2) % 2, ntiles - 2).wait()
+
+        dma_out((ntiles - 1) % 2, ntiles - 1).wait()
+
+    flops = 2 * B * F * T8 * C * N * 15
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, F, T8, N), out_dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, nrows, BTp, C), in_dtype),
+            pltpu.VMEM((M, 3 * C), in_dtype),
+            pltpu.VMEM((M, N), jnp.float32),
+            pltpu.VMEM((2, BF, BT, N), out_dtype),
+            pltpu.SemaphoreType.DMA((2, 5)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=2 * (B * F * T8 * (C + N)),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )
+
+
+def _round128(n: int) -> int:
+    return -(-n // 128) * 128
+
+
+def _pallas_forward(x, w, d, plan):
+    B, F, T, C = x.shape
+    N = w.shape[-1]
+    BF, BT, per_slab, T8 = plan
+    # Mosaic HBM-slice rules: DMA windows need 8-aligned offset/length along
+    # the sublane (T) dim and a 128-multiple minor (C) dim.  T is padded
+    # 1 left + 7 right beyond T8; C and N are zero-padded to 128 multiples
+    # (the pads fuse into neighbouring elementwise chains in situ).
+    Cp, Np = _round128(C), _round128(N)
+    xp = jnp.pad(x, ((0, 0), (2 * d, 2 * d), (1, 7 + (T8 - T)),
+                     (0, Cp - C)))
+    wk = jnp.pad(w.astype(x.dtype), ((0, 0), (0, 0), (0, Cp - C),
+                                     (0, Np - N))).reshape(5, 3 * Cp, Np)
+    call = _build_call(B, F, T8, Cp, Np, d, BF, BT, per_slab,
+                       x.dtype.name, x.dtype.name, _INTERPRET)
+    out = call(xp, wk)
+    if T8 != T or Np != N:
+        out = out[:, :, :T, :N]
+    return out
+
+
+# ----------------------------------------------------------- public + vjp
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _conv5x3_pallas(x, w, static):
+    d, plan = static
+    return _pallas_forward(x, w, d, plan)
+
+
+def _fwd(x, w, static):
+    return _conv5x3_pallas(x, w, static), (x, w)
+
+
+def _bwd(static, res, g):
+    d, _ = static
+    x, w = res
+    dx = jax.linear_transpose(
+        lambda xx: conv_xla(xx, w, (d, 1)), x)(g)[0]
+    dw = jax.linear_transpose(
+        lambda ww: conv_xla(x, ww, (d, 1)), w)(g)[0]
+    return dx, dw
+
+
+_conv5x3_pallas.defvjp(_fwd, _bwd)
+
+
+def conv5x3_dilated(x, w, d: int):
+    """'SAME' NHWC conv, kernel (5,3), rhs_dilation (d,1).  Pallas on TPU
+    when the shape tiles; XLA otherwise."""
+    B, F, T, C = x.shape
+    kf, kt, Ci, N = w.shape
+    assert (kf, kt) == (5, 3) and Ci == C
+    if _BACKEND != "pallas":  # opt-in for now (see fused_stage_active)
+        return conv_xla(x, w, (d, 1))
+    if C < 32:  # zero-pad waste to 128 lanes would dwarf the tiny FLOPs
+        return conv_xla(x, w, (d, 1))
+    plan = _plan(B, F, T, _round128(C), _round128(N), d)
+    if plan is None:
+        return conv_xla(x, w, (d, 1))
+    return _conv5x3_pallas(x, w.astype(x.dtype), (d, (plan)))
+
+
+# ----------------------------------------------------- fused dilated stage
+#
+# One ResnetBlock dilation step (networks/cqtdiff+.py:444-460 semantics):
+#     h   = gelu(x * a)                     a = (gamma_sigma + 1) / gn_denom
+#     y   = (x + conv5x3_d(h, w) * s) / sqrt(2)
+# plus the (sum, sum-of-squares) per-channel moments of y that the NEXT
+# stage's BiasFreeGroupNorm needs — all in a single pass over x.
+#
+# Chained padded layout: activations travel as (B, F + 4*d, T8 + 16, Cp)
+# buffers whose F/T margins hold garbage (cheaper than zeroing); the kernel
+# masks out-of-range taps with the global row/col index, so no host-side
+# zero-pad pass is needed between stages.  Real data lives at
+# [:, 2*d : 2*d + F, 8 : 8 + T, :C].
+
+
+def fused_stage_active() -> bool:
+    """Whether ResnetBlock should route its dilation stack through the
+    fused Pallas stage.  Opt-in (BABE_CONV_BACKEND=pallas) while the kernel
+    trails XLA's in-situ convs end-to-end — see PROFILE.md round-3 notes:
+    the fused path measured 218 ms/NFE vs 164 ms for XLA+1x1-dots (patch
+    build cost); default stays 'auto' = XLA until the kernel wins."""
+    if _BACKEND == "pallas":
+        return True
+    return False
+
+
+def _gelu_exact(x):
+    """Exact-erf gelu for Pallas TPU (Mosaic has no erf/erfc lowering).
+
+    erf via Abramowitz & Stegun 7.1.26 in fp32 (|err| <= 1.5e-7 — three
+    orders of magnitude below bf16 resolution, so golden parity with
+    torch.nn.GELU(approximate='none') is unaffected)."""
+    xf = x.astype(jnp.float32)
+    z = xf * 0.7071067811865475
+    az = jnp.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * az)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    erf_abs = 1.0 - poly * jnp.exp(-az * az)
+    erf = jnp.sign(z) * erf_abs
+    return (0.5 * xf * (1.0 + erf)).astype(x.dtype)
+
+
+def _dil_stage_ref(xp, wk, a, s, static):
+    """XLA reference of fused_stage_padded (also its vjp body).
+
+    wk is the (5, 3*Cp, Cp) matrix layout; un-reshaped to HWIO here."""
+    d, dout, F, T, C, Cp = static
+    x = xp[:, 2 * d:2 * d + F, 8:8 + T, :C]
+    w = wk.reshape(5, 3, Cp, Cp)[:, :, :C, :C]
+    h = jax.nn.gelu(x * a[:, None, None, :C].astype(x.dtype),
+                    approximate=False)
+    y = (x + conv_xla(h, w, (d, 1)) * s[:, None, None, :C].astype(x.dtype))
+    y = y / jnp.sqrt(2.0).astype(x.dtype)
+    y32 = y.astype(jnp.float32)
+    mom = jnp.stack([jnp.sum(y32, (1, 2)), jnp.sum(y32 * y32, (1, 2))])
+    mom = jnp.pad(mom, ((0, 0), (0, 0), (0, Cp - C)))
+    T8 = xp.shape[2] - 16
+    yp = jnp.pad(y, ((0, 0), (2 * dout, 2 * dout), (8, 8 + (T8 - T)),
+                     (0, Cp - C)))
+    return yp, mom
+
+
+@functools.lru_cache(maxsize=None)
+def _build_fused_call(B, F, T, T8, C, Cp, d, dout, BF, BT, per_slab,
+                      dtype_name, interpret):
+    dt = jnp.dtype(dtype_name)
+    BTw = BT + 16
+    nF, nT = F // BF, T8 // BT
+    ntiles = B * nF * nT
+    nrows = 5 * BF if per_slab else BF + 4 * d
+    M = BF * BT
+    SQ2INV = 0.7071067811865475
+
+    def kernel(xp_ref, wk_ref, a_ref, s_ref, out_ref, mom_ref,
+               xbuf, hbuf, patch, acc, obuf, sin, sout):
+        mom_ref[...] = jnp.zeros((2, B, Cp), jnp.float32)
+
+        def coords(t):
+            b = t // (nF * nT)
+            r = t % (nF * nT)
+            return b, r // nT, r % nT
+
+        def dma_ins(slot, t):
+            b, i, j = coords(t)
+            f0 = i * BF
+            t0 = j * BT
+            if per_slab:
+                return [
+                    pltpu.make_async_copy(
+                        xp_ref.at[b, pl.ds(f0 + kf * d, BF), pl.ds(t0, BTw), :],
+                        xbuf.at[slot, pl.ds(kf * BF, BF)],
+                        sin.at[slot, kf])
+                    for kf in range(5)
+                ]
+            return [pltpu.make_async_copy(
+                xp_ref.at[b, pl.ds(f0, nrows), pl.ds(t0, BTw), :],
+                xbuf.at[slot], sin.at[slot, 0])]
+
+        def dma_out(slot, t):
+            b, i, j = coords(t)
+            return pltpu.make_async_copy(
+                obuf.at[slot],
+                out_ref.at[b, pl.ds(i * BF + 2 * dout, BF),
+                           pl.ds(j * BT + 8, BT), :],
+                sout.at[slot])
+
+        for c in dma_ins(0, 0):
+            c.start()
+
+        def body(t, carry):
+            slot = t % 2
+            b, i, j = coords(t)
+
+            @pl.when(t + 1 < ntiles)
+            def _():
+                for c in dma_ins((t + 1) % 2, t + 1):
+                    c.start()
+
+            for c in dma_ins(slot, t):
+                c.wait()
+
+            # ---- prologue: h = gelu(x * a), with out-of-range taps zeroed.
+            # global coords of xbuf rows/cols; valid data is rows
+            # [2d, 2d+F) and cols [8, 8+T) of the padded input.  Processed
+            # in row strips to bound the fp32 temporaries on the vector
+            # stack (whole-tile gelu OOMs scoped vmem at large tiles).
+            av = a_ref[b, :].astype(dt)  # (Cp,)
+            CH = 8
+            while CH * 2 <= nrows and CH * 2 * BTw * Cp * 16 <= 2 * 2**20:
+                CH *= 2
+            for r0 in range(0, nrows, CH):
+                rn = min(CH, nrows - r0)
+                xt = xbuf[slot, pl.ds(r0, rn)]  # (rn, BTw, Cp)
+                # 3-D masks built with broadcasted_iota: margins may hold
+                # arbitrary bits (incl. NaN), so masking MUST select, not
+                # multiply; bool minor-dim insertion is unsupported on
+                # Mosaic, hence the full-rank iota.
+                rloc = r0 + jax.lax.broadcasted_iota(
+                    jnp.int32, (rn, BTw, Cp), 0)
+                if per_slab:
+                    # slab kf's rows start at global f0 + kf*d
+                    gr = (i * BF) + (rloc % BF) + (rloc // BF) * d
+                else:
+                    gr = (i * BF) + rloc
+                gc = (j * BT) + jax.lax.broadcasted_iota(
+                    jnp.int32, (rn, BTw, Cp), 1)
+                valid = ((gr >= 2 * d) & (gr < 2 * d + F)
+                         & (gc >= 8) & (gc < 8 + T))
+                h = _gelu_exact(xt * av[None, None, :])
+                hbuf[pl.ds(r0, rn)] = jnp.where(valid, h,
+                                                jnp.zeros_like(h)).astype(dt)
+
+            # ---- implicit GEMM over the 15 taps (K = 3*Cp per kf dot)
+            for kf in range(5):
+                base = kf * BF if per_slab else kf * d
+                for kt in range(3):
+                    sl = hbuf[pl.ds(base, BF), pl.ds(7 + kt, BT), :]
+                    patch[:, kt * Cp:(kt + 1) * Cp] = sl.reshape(M, Cp)
+                pk = jnp.dot(patch[:], wk_ref[kf],
+                             preferred_element_type=jnp.float32)
+                if kf == 0:
+                    acc[:] = pk
+                else:
+                    acc[:] = acc[:] + pk
+
+            # ---- epilogue: y = (x + conv*s)/sqrt(2), fake T cols zeroed
+            sv = s_ref[b, :]  # (Cp,) f32
+            x0 = xbuf[slot, pl.ds(2 * d if not per_slab else 2 * BF, BF),
+                      pl.ds(8, BT), :]
+            y32 = (x0.reshape(M, Cp).astype(jnp.float32)
+                   + acc[:] * sv[None, :]) * SQ2INV
+            # column select over output (zeroes the T..T8 fake cols, which
+            # may be NaN garbage from the input margins — select, never
+            # multiply)
+            ocol = (j * BT) + (
+                jax.lax.broadcasted_iota(jnp.int32, (M, Cp), 0) % BT)
+            y32 = jnp.where(ocol < T, y32, jnp.zeros_like(y32))
+
+            mom_ref[0, b, :] = mom_ref[0, b, :] + jnp.sum(y32, axis=0)
+            mom_ref[1, b, :] = mom_ref[1, b, :] + jnp.sum(y32 * y32, axis=0)
+
+            @pl.when(t >= 2)
+            def _():
+                dma_out(slot, t - 2).wait()
+
+            obuf[slot] = y32.astype(dt).reshape(BF, BT, Cp)
+            dma_out(slot, t).start()
+            return carry
+
+        jax.lax.fori_loop(0, ntiles, body, 0)
+
+        @pl.when(ntiles >= 2)
+        def _():
+            dma_out((ntiles - 2) % 2, ntiles - 2).wait()
+
+        dma_out((ntiles - 1) % 2, ntiles - 1).wait()
+
+    flops = 2 * B * F * T8 * Cp * Cp * 15
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, F + 4 * dout, T8 + 16, Cp), dt),
+            jax.ShapeDtypeStruct((2, B, Cp), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, nrows, BTw, Cp), dt),
+            pltpu.VMEM((nrows, BTw, Cp), dt),
+            pltpu.VMEM((M, 3 * Cp), dt),
+            pltpu.VMEM((M, Cp), jnp.float32),
+            pltpu.VMEM((2, BF, BT, Cp), dt),
+            pltpu.SemaphoreType.DMA((2, 5)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=4 * B * F * T8 * Cp,
+            transcendentals=B * F * T8 * Cp,
+        ),
+        interpret=interpret,
+    )
+
+
+def _fused_plan(B, F, T, C, d, itembytes=2, vmem_budget=10 * 2**20):
+    """Tile plan for the fused stage (adds the hbuf term)."""
+    T8 = -(-T // 8) * 8
+    best = None
+    for BT in _divisors_desc(T8):
+        if BT > 512 or BT % 8:
+            continue
+        for BF in _divisors_desc(F):
+            M = BF * BT
+            if not (128 <= M <= 4096):
+                continue
+            per_slab = d >= BF
+            nrows = 5 * BF if per_slab else BF + 4 * d
+            vmem = (
+                3 * nrows * (BT + 16) * C * itembytes     # xbuf x2 + hbuf
+                + M * 3 * C * itembytes                    # patch
+                + M * C * 4                                # acc
+                + 2 * M * C * itembytes                    # obuf
+                + 15 * C * C * itembytes                   # weights
+                + 3 * M * C * 4                            # epilogue f32 temps
+                + 2 * 2**20                                # prologue strip temps
+            )
+            if vmem > vmem_budget:
+                continue
+            ntiles = B * (F // BF) * (T8 // BT)
+            read = ntiles * nrows * (BT + 16) * C
+            key = (read, -M)
+            if best is None or key < best[0]:
+                best = (key, (BF, BT, per_slab, T8))
+    return None if best is None else best[1]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def fused_stage_padded(xp, wk, a, s, static):
+    """Fused ResnetBlock dilation stage on the chained padded layout.
+
+    xp: (B, F+4d, T8+16, Cp) activations (real data at
+        [:, 2d:2d+F, 8:8+T, :C]; margins may hold garbage).
+    wk: (5, 3*Cp, Cp) zero-padded weight matrix (HWIO reshaped).
+    a:  (B, Cp) f32 prologue multiplier  (gamma_sigma+1)/gn_denom.
+    s:  (B, Cp) f32 epilogue gate scale.
+    static: (d, dout, F, T, C, Cp) — dout is the NEXT stage's dilation
+        (0 for the last stage: output margins collapse).
+    Returns (yp, moments) with yp laid out for the next stage and
+    moments = per-(B, Cp) [sum, sum of squares] of the real output region.
+    """
+    d, dout, F, T, C, Cp = static
+    B = xp.shape[0]
+    T8 = xp.shape[2] - 16
+    if _BACKEND == "xla" or (_BACKEND == "auto"
+                             and not (_on_tpu() or _INTERPRET)):
+        return _dil_stage_ref(xp, wk, a, s, static)
+    plan = _fused_plan(B, F, T, Cp, d)
+    if plan is None:
+        return _dil_stage_ref(xp, wk, a, s, static)
+    BF, BT, per_slab, T8p = plan
+    assert T8p == T8, (T8p, T8)
+    call = _build_fused_call(B, F, T, T8, C, Cp, d, dout, BF, BT, per_slab,
+                             xp.dtype.name, _INTERPRET)
+    return call(xp, wk.astype(xp.dtype), a.astype(jnp.float32),
+                s.astype(jnp.float32))
+
+
+def _fused_fwd(xp, wk, a, s, static):
+    return fused_stage_padded(xp, wk, a, s, static), (xp, wk, a, s)
+
+
+def _fused_bwd(static, res, g):
+    xp, wk, a, s = res
+    _, vjp = jax.vjp(lambda *ops: _dil_stage_ref(*ops, static), xp, wk, a, s)
+    return vjp(g)
+
+
+fused_stage_padded.defvjp(_fused_fwd, _fused_bwd)
+
+
+def conv2d_same(x, w, dilation=(1, 1)):
+    """Dispatcher used by the model blocks: picks the fastest implementation
+    for a 'SAME' NHWC conv with odd kernel."""
+    kf, kt = w.shape[0], w.shape[1]
+    if (kf, kt) == (1, 1):
+        return conv1x1(x, w)
+    if (kf, kt) == (5, 3):
+        return conv5x3_dilated(x, w, int(dilation[0]))
+    return conv_xla(x, w, dilation)

@@ -1,0 +1,162 @@
+"""Correctness of the implicit-GEMM Pallas conv (interpret mode on CPU) and
+the 1x1 matmul conv, against lax.conv_general_dilated."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from babe_tpu.ops import conv_kernels as ck
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    monkeypatch.setattr(ck, "_INTERPRET", True)
+    monkeypatch.setattr(ck, "_BACKEND", "pallas")
+
+
+def test_conv1x1_matches(rng):
+    x = jnp.asarray(rng.standard_normal((2, 8, 24, 16)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((1, 1, 16, 8)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(ck.conv1x1(x, w)), np.asarray(ck.conv_xla(x, w)),
+        rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("d", [1, 2, 8])
+def test_conv5x3_matches(rng, d):
+    B, F, T, C, N = 2, 32, 40, 16, 8
+    x = jnp.asarray(rng.standard_normal((B, F, T, C)).astype(np.float32))
+    w = jnp.asarray(0.1 * rng.standard_normal((5, 3, C, N)).astype(np.float32))
+    out = ck.conv5x3_dilated(x, w, d)
+    ref = ck.conv_xla(x, w, (d, 1))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_conv5x3_unaligned_T(rng):
+    """T=20 (not a multiple of 8) exercises the pad-to-T8 path."""
+    B, F, T, C, N = 1, 16, 20, 8, 8
+    x = jnp.asarray(rng.standard_normal((B, F, T, C)).astype(np.float32))
+    w = jnp.asarray(0.1 * rng.standard_normal((5, 3, C, N)).astype(np.float32))
+    out = ck.conv5x3_dilated(x, w, 4)
+    ref = ck.conv_xla(x, w, (4, 1))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_conv5x3_grads_match(rng):
+    B, F, T, C, N = 1, 16, 24, 8, 8
+    x = jnp.asarray(rng.standard_normal((B, F, T, C)).astype(np.float32))
+    w = jnp.asarray(0.1 * rng.standard_normal((5, 3, C, N)).astype(np.float32))
+
+    gp = jax.grad(lambda a, b: jnp.sum(ck.conv5x3_dilated(a, b, 2) ** 2),
+                  argnums=(0, 1))(x, w)
+    gr = jax.grad(lambda a, b: jnp.sum(ck.conv_xla(a, b, (2, 1)) ** 2),
+                  argnums=(0, 1))(x, w)
+    for p, r in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(r),
+                                   rtol=1e-3, atol=1e-3)
+
+
+def test_plan_covers_flagship_shapes():
+    """Every (5,3) conv shape in the flagship 5 s bench config must tile."""
+    shapes = [
+        (8, 64, 1280, 64, 64, 1), (8, 64, 1280, 64, 64, 2),
+        (8, 128, 640, 96, 96, 4), (8, 192, 320, 96, 96, 8),
+        (8, 256, 160, 128, 128, 8), (8, 320, 80, 128, 128, 16),
+        (8, 384, 40, 256, 256, 32), (8, 448, 20, 256, 256, 64),
+    ]
+    for B, F, T, C, N, d in shapes:
+        plan = ck._plan(B, F, T, ck._round128(C), ck._round128(N), d)
+        assert plan is not None, (B, F, T, C, N, d)
+        BF, BT, per_slab, T8 = plan
+        assert F % BF == 0 and T8 % BT == 0 and T8 >= T
+
+
+def _mk_block(num_dils=3, N=16):
+    from babe_tpu.models.blocks import ResnetBlock
+    return ResnetBlock(N, N, True, num_dils=num_dils, emb_dim=32, Fdim=32)
+
+
+@pytest.mark.parametrize("T", [40, 20])
+def test_fused_resnet_chain_parity(rng, monkeypatch, T):
+    """Fused Pallas dilation chain (interpret) == plain XLA ResnetBlock."""
+    import babe_tpu.ops.conv_kernels as ck
+    import jax
+
+    B, F, N = 2, 32, 16
+    x = jnp.asarray(rng.standard_normal((B, F, T, N)).astype(np.float32))
+    emb = jnp.asarray(rng.standard_normal((B, 32)).astype(np.float32))
+    blk = _mk_block()
+
+    monkeypatch.setattr(ck, "_BACKEND", "xla")
+    p = blk.init(jax.random.PRNGKey(0), x, emb)
+    ref = blk.apply(p, x, emb)
+
+    monkeypatch.setattr(ck, "_BACKEND", "pallas")
+    monkeypatch.setattr(ck, "_INTERPRET", True)
+    out = blk.apply(p, x, emb)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_stage_matches_ref(rng):
+    import babe_tpu.ops.conv_kernels as ck
+
+    B, F, T, C, Cp, d = 2, 16, 24, 8, 128, 2
+    T8 = 24
+    xnp = rng.standard_normal(
+        (B, F + 4 * d, T8 + 16, Cp)).astype(np.float32)
+    # layout contract: F/T margins may hold garbage, but the padded channel
+    # lanes [C:Cp) are zero (the entry pad zeroes them; zero weight columns
+    # keep them zero through every stage)
+    xnp[..., C:] = 0.0
+    xp = jnp.asarray(xnp)
+    w = 0.1 * rng.standard_normal((5, 3, Cp, Cp)).astype(np.float32)
+    w[:, :, C:, :] = 0.0
+    w[:, :, :, C:] = 0.0
+    wk = jnp.asarray(w.reshape(5, 3 * Cp, Cp))
+    a = jnp.asarray(rng.standard_normal((B, Cp)).astype(np.float32))
+    s = jnp.asarray(rng.standard_normal((B, Cp)).astype(np.float32))
+    static = (d, 4, F, T, C, Cp)
+
+    ref_y, ref_m = ck._dil_stage_ref(xp, wk, a, s, static)
+
+    old_b, old_i = ck._BACKEND, ck._INTERPRET
+    ck._BACKEND, ck._INTERPRET = "pallas", True
+    try:
+        y, m = ck.fused_stage_padded(xp, wk, a, s, static)
+    finally:
+        ck._BACKEND, ck._INTERPRET = old_b, old_i
+
+    dout = 4
+    ry = np.asarray(y[:, 2 * dout:2 * dout + F, 8:8 + T, :C])
+    rr = np.asarray(ref_y[:, 2 * dout:2 * dout + F, 8:8 + T, :C])
+    np.testing.assert_allclose(ry, rr, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(m), np.asarray(ref_m),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_fused_chain_grads(rng, monkeypatch):
+    """custom_vjp backward (XLA re-derivation) produces finite grads that
+    match the unfused chain."""
+    import babe_tpu.ops.conv_kernels as ck
+    import jax
+
+    B, F, T, N = 1, 32, 16, 16
+    x = jnp.asarray(rng.standard_normal((B, F, T, N)).astype(np.float32))
+    emb = jnp.asarray(rng.standard_normal((B, 32)).astype(np.float32))
+    blk = _mk_block(num_dils=2)
+
+    monkeypatch.setattr(ck, "_BACKEND", "xla")
+    p = blk.init(jax.random.PRNGKey(0), x, emb)
+    gref = jax.grad(lambda xx: jnp.sum(blk.apply(p, xx, emb) ** 2))(x)
+
+    monkeypatch.setattr(ck, "_BACKEND", "pallas")
+    monkeypatch.setattr(ck, "_INTERPRET", True)
+    gfus = jax.grad(lambda xx: jnp.sum(blk.apply(p, xx, emb) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(gfus), np.asarray(gref),
+                               rtol=1e-3, atol=1e-3)
