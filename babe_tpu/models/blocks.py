@@ -383,10 +383,15 @@ class ResnetBlock(nn.Module):
         s1 = jnp.sum(x32, axis=(1, 2))
         s2 = jnp.sum(x32 * x32, axis=(1, 2))
 
-        xp = jnp.pad(x, ((0, 0), (2, 2), (8, 8 + (T8 - T)), (0, Cp - N)))
+        # uniform zero margins sized for the chain's max dilation; stages
+        # ping-pong between two buffers (the Pallas output aliases the
+        # scratch operand), so the margins are zeroed exactly once here
+        dm = 2 ** (self.num_dils - 1)
+        xp = jnp.pad(x, ((0, 0), (2 * dm, 2 * dm), (8, 8 + (T8 - T)),
+                         (0, Cp - N)))
+        scratch = jnp.zeros_like(xp)
         for i in range(self.num_dils):
             d = 2 ** i
-            dout = 2 ** (i + 1) if i + 1 < self.num_dils else 0
             gamma_n = BiasFreeGroupNorm(N, g, name=f"norm_{i}")(None)
             gamma = Linear(N, name=f"affine_{i}")(sigma_emb)
             scale = Linear(N, init_weight=INIT_ZERO,
@@ -400,14 +405,14 @@ class ResnetBlock(nn.Module):
             s_vec = jnp.pad(s_vec, ((0, 0), (0, pad)))
             k = Conv2d(N, (5, 3), dilation=(d, 1), in_features=N,
                        name=f"H_{i}")(None)  # (5,3,N,N)
-            wk = jnp.pad(k.astype(dt),
+            w4 = jnp.pad(k.astype(dt),
                          ((0, 0), (0, 0), (0, pad), (0, pad)))
-            wk = wk.reshape(5, 3 * Cp, Cp)
-            xp, mom = fused_stage_padded(
-                xp, wk, a_vec, s_vec, (d, dout, F, T, N, Cp))
+            yp, mom = fused_stage_padded(
+                xp, scratch, w4, a_vec, s_vec, (dm, d, F, T, N, Cp))
+            xp, scratch = yp, xp
             s1, s2 = mom[0], mom[1]
 
-        return xp[:, :, 8:8 + T, :N]
+        return xp[:, 2 * dm:2 * dm + F, 8:8 + T, :N]
 
 
 _RESAMPLE_KERNELS = {

@@ -339,13 +339,21 @@ def _gelu_exact(x):
     return (0.5 * xf * (1.0 + erf)).astype(x.dtype)
 
 
-def _dil_stage_ref(xp, wk, a, s, static):
+
+def _dil_stage_ref(xp, prev, w4, a, s, static):
     """XLA reference of fused_stage_padded (also its vjp body).
 
-    wk is the (5, 3*Cp, Cp) matrix layout; un-reshaped to HWIO here."""
-    d, dout, F, T, C, Cp = static
-    x = xp[:, 2 * d:2 * d + F, 8:8 + T, :C]
-    w = wk.reshape(5, 3, Cp, Cp)[:, :, :C, :C]
+    Layout contract (uniform across a dilation chain): activations are
+    (B, F + 4*dm, T8 + 16, Cp) with real data at
+    [:, 2*dm : 2*dm + F, 8 : 8 + T, :C] and ZERO margins / fake T cols /
+    channel lanes.  `prev` is the ping-pong scratch buffer whose storage
+    the Pallas output aliases; its values are ignored (margins must be
+    zero, which the chain maintains).
+    w4 is the zero-padded HWIO kernel (5, 3, Cp, Cp)."""
+    dm, d, F, T, C, Cp = static
+    del prev
+    x = xp[:, 2 * dm:2 * dm + F, 8:8 + T, :C]
+    w = w4[:, :, :C, :C]
     h = jax.nn.gelu(x * a[:, None, None, :C].astype(x.dtype),
                     approximate=False)
     y = (x + conv_xla(h, w, (d, 1)) * s[:, None, None, :C].astype(x.dtype))
@@ -354,24 +362,39 @@ def _dil_stage_ref(xp, wk, a, s, static):
     mom = jnp.stack([jnp.sum(y32, (1, 2)), jnp.sum(y32 * y32, (1, 2))])
     mom = jnp.pad(mom, ((0, 0), (0, 0), (0, Cp - C)))
     T8 = xp.shape[2] - 16
-    yp = jnp.pad(y, ((0, 0), (2 * dout, 2 * dout), (8, 8 + (T8 - T)),
+    yp = jnp.pad(y, ((0, 0), (2 * dm, 2 * dm), (8, 8 + (T8 - T)),
                      (0, Cp - C)))
     return yp, mom
 
 
 @functools.lru_cache(maxsize=None)
-def _build_fused_call(B, F, T, T8, C, Cp, d, dout, BF, BT, per_slab,
-                      dtype_name, interpret):
+def _build_fused_call(B, F, T, T8, C, Cp, dm, d, BF, BT, per_slab,
+                      dtype_name, interpret, variant="kt3"):
+    """One fused ResnetBlock dilation stage (see fused_stage_padded).
+
+    variant='kt3': per-kf patch over the 3 kt taps (K=3*Cp, 15
+    sublane-shifted VMEM copies).  variant='kf5': patch over the 5 kf taps
+    with full-window columns (K=5*Cp, 5 fully aligned copies) and the kt
+    taps realized as 3 dots + sublane-shifted fp32 accumulation.
+    Patches are double-buffered so Mosaic can overlap the vector-unit
+    patch build of tap k+1 with the MXU dot of tap k.
+
+    The output aliases the `prev` operand's buffer (input_output_aliases),
+    so the zero margins written once at chain entry survive every stage —
+    no masking or margin zeroing anywhere in the hot loop."""
     dt = jnp.dtype(dtype_name)
     BTw = BT + 16
     nF, nT = F // BF, T8 // BT
     ntiles = B * nF * nT
     nrows = 5 * BF if per_slab else BF + 4 * d
     M = BF * BT
+    M2 = BF * BTw
     SQ2INV = 0.7071067811865475
+    roff = 2 * dm - 2 * d  # window row offset inside the uniform margins
 
-    def kernel(xp_ref, wk_ref, a_ref, s_ref, out_ref, mom_ref,
+    def kernel(xp_ref, prev_ref, wk_ref, a_ref, s_ref, out_ref, mom_ref,
                xbuf, hbuf, patch, acc, obuf, sin, sout):
+        del prev_ref  # storage donor only
         mom_ref[...] = jnp.zeros((2, B, Cp), jnp.float32)
 
         def coords(t):
@@ -381,7 +404,7 @@ def _build_fused_call(B, F, T, T8, C, Cp, d, dout, BF, BT, per_slab,
 
         def dma_ins(slot, t):
             b, i, j = coords(t)
-            f0 = i * BF
+            f0 = i * BF + roff
             t0 = j * BT
             if per_slab:
                 return [
@@ -399,7 +422,7 @@ def _build_fused_call(B, F, T, T8, C, Cp, d, dout, BF, BT, per_slab,
             b, i, j = coords(t)
             return pltpu.make_async_copy(
                 obuf.at[slot],
-                out_ref.at[b, pl.ds(i * BF + 2 * dout, BF),
+                out_ref.at[b, pl.ds(i * BF + 2 * dm, BF),
                            pl.ds(j * BT + 8, BT), :],
                 sout.at[slot])
 
@@ -418,11 +441,10 @@ def _build_fused_call(B, F, T, T8, C, Cp, d, dout, BF, BT, per_slab,
             for c in dma_ins(slot, t):
                 c.wait()
 
-            # ---- prologue: h = gelu(x * a), with out-of-range taps zeroed.
-            # global coords of xbuf rows/cols; valid data is rows
-            # [2d, 2d+F) and cols [8, 8+T) of the padded input.  Processed
-            # in row strips to bound the fp32 temporaries on the vector
-            # stack (whole-tile gelu OOMs scoped vmem at large tiles).
+            # ---- prologue: h = gelu(x * a).  No masks: the layout
+            # contract guarantees zero margins, and gelu(0 * a) == 0, so
+            # out-of-range taps contribute exactly the conv zero padding.
+            # Row strips bound the fp32 temporaries on the vector stack.
             av = a_ref[b, :].astype(dt)  # (Cp,)
             CH = 8
             while CH * 2 <= nrows and CH * 2 * BTw * Cp * 16 <= 2 * 2**20:
@@ -430,59 +452,61 @@ def _build_fused_call(B, F, T, T8, C, Cp, d, dout, BF, BT, per_slab,
             for r0 in range(0, nrows, CH):
                 rn = min(CH, nrows - r0)
                 xt = xbuf[slot, pl.ds(r0, rn)]  # (rn, BTw, Cp)
-                # 3-D masks built with broadcasted_iota: margins may hold
-                # arbitrary bits (incl. NaN), so masking MUST select, not
-                # multiply; bool minor-dim insertion is unsupported on
-                # Mosaic, hence the full-rank iota.
-                rloc = r0 + jax.lax.broadcasted_iota(
-                    jnp.int32, (rn, BTw, Cp), 0)
-                if per_slab:
-                    # slab kf's rows start at global f0 + kf*d
-                    gr = (i * BF) + (rloc % BF) + (rloc // BF) * d
-                else:
-                    gr = (i * BF) + rloc
-                gc = (j * BT) + jax.lax.broadcasted_iota(
-                    jnp.int32, (rn, BTw, Cp), 1)
-                valid = ((gr >= 2 * d) & (gr < 2 * d + F)
-                         & (gc >= 8) & (gc < 8 + T))
-                h = _gelu_exact(xt * av[None, None, :])
-                hbuf[pl.ds(r0, rn)] = jnp.where(valid, h,
-                                                jnp.zeros_like(h)).astype(dt)
+                hbuf[pl.ds(r0, rn)] = _gelu_exact(xt * av[None, None, :])
 
-            # ---- implicit GEMM over the 15 taps (K = 3*Cp per kf dot)
-            for kf in range(5):
-                base = kf * BF if per_slab else kf * d
+            if variant == "kt3":
+                # ---- implicit GEMM, per-kf patch over kt (K = 3*Cp)
+                for kf in range(5):
+                    base = kf * BF if per_slab else kf * d
+                    pb = kf % 2
+                    for kt in range(3):
+                        sl = hbuf[pl.ds(base, BF), pl.ds(7 + kt, BT), :]
+                        patch[pb, :, kt * Cp:(kt + 1) * Cp] = sl.reshape(M, Cp)
+                    pk = jnp.dot(patch[pb], wk_ref[kf],
+                                 preferred_element_type=jnp.float32)
+                    if kf == 0:
+                        acc[:] = pk
+                    else:
+                        acc[:] = acc[:] + pk
+                acc3 = acc[:].reshape(BF, BT, Cp)
+            else:
+                # ---- 'kf5': aligned full-window patch over kf (K = 5*Cp),
+                # kt taps as 3 dots + sublane-shifted fp32 accumulation
+                for kf in range(5):
+                    base = kf * BF if per_slab else kf * d
+                    sl = hbuf[pl.ds(base, BF), :, :]  # aligned, full cols
+                    patch[0, :, kf * Cp:(kf + 1) * Cp] = sl.reshape(M2, Cp)
                 for kt in range(3):
-                    sl = hbuf[pl.ds(base, BF), pl.ds(7 + kt, BT), :]
-                    patch[:, kt * Cp:(kt + 1) * Cp] = sl.reshape(M, Cp)
-                pk = jnp.dot(patch[:], wk_ref[kf],
-                             preferred_element_type=jnp.float32)
-                if kf == 0:
-                    acc[:] = pk
-                else:
-                    acc[:] = acc[:] + pk
+                    pk = jnp.dot(patch[0], wk_ref[kt],
+                                 preferred_element_type=jnp.float32)
+                    p3 = pk.reshape(BF, BTw, Cp)[:, 7 + kt:7 + kt + BT, :]
+                    if kt == 0:
+                        acc[...] = p3
+                    else:
+                        acc[...] = acc[...] + p3
+                acc3 = acc[...]
 
-            # ---- epilogue: y = (x + conv*s)/sqrt(2), fake T cols zeroed
+            # ---- epilogue: y = (x + conv*s)/sqrt(2)
             sv = s_ref[b, :]  # (Cp,) f32
             x0 = xbuf[slot, pl.ds(2 * d if not per_slab else 2 * BF, BF),
                       pl.ds(8, BT), :]
-            y32 = (x0.reshape(M, Cp).astype(jnp.float32)
-                   + acc[:] * sv[None, :]) * SQ2INV
-            # column select over output (zeroes the T..T8 fake cols, which
-            # may be NaN garbage from the input margins — select, never
-            # multiply)
-            ocol = (j * BT) + (
-                jax.lax.broadcasted_iota(jnp.int32, (M, Cp), 0) % BT)
-            y32 = jnp.where(ocol < T, y32, jnp.zeros_like(y32))
+            y3 = (x0.astype(jnp.float32)
+                  + acc3 * sv[None, None, :]) * SQ2INV
+            if T8 != T:
+                # zero the T..T8 fake cols (conv spill) to keep the layout
+                # contract and the moments exact
+                ocol = (j * BT) + (
+                    jax.lax.broadcasted_iota(jnp.int32, (BF, BT, Cp), 1))
+                y3 = jnp.where(ocol < T, y3, jnp.zeros_like(y3))
 
-            mom_ref[0, b, :] = mom_ref[0, b, :] + jnp.sum(y32, axis=0)
-            mom_ref[1, b, :] = mom_ref[1, b, :] + jnp.sum(y32 * y32, axis=0)
+            mom_ref[0, b, :] = mom_ref[0, b, :] + jnp.sum(y3, axis=(0, 1))
+            mom_ref[1, b, :] = mom_ref[1, b, :] + jnp.sum(y3 * y3, axis=(0, 1))
 
             @pl.when(t >= 2)
             def _():
                 dma_out(slot, t - 2).wait()
 
-            obuf[slot] = y32.astype(dt).reshape(BF, BT, Cp)
+            obuf[slot] = y3.astype(dt)
             dma_out(slot, t).start()
             return carry
 
@@ -495,13 +519,20 @@ def _build_fused_call(B, F, T, T8, C, Cp, d, dout, BF, BT, per_slab,
         dma_out((ntiles - 1) % 2, ntiles - 1).wait()
 
     flops = 2 * B * F * T8 * Cp * Cp * 15
+    if variant == "kt3":
+        patch_scr = pltpu.VMEM((2, M, 3 * Cp), dt)
+        acc_scr = pltpu.VMEM((M, Cp), jnp.float32)
+    else:
+        patch_scr = pltpu.VMEM((1, M2, 5 * Cp), dt)
+        acc_scr = pltpu.VMEM((BF, BT, Cp), jnp.float32)
     return pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((B, F + 4 * dout, T8 + 16, Cp), dt),
+            jax.ShapeDtypeStruct((B, F + 4 * dm, T8 + 16, Cp), dt),
             jax.ShapeDtypeStruct((2, B, Cp), jnp.float32),
         ),
         in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -514,12 +545,13 @@ def _build_fused_call(B, F, T, T8, C, Cp, d, dout, BF, BT, per_slab,
         scratch_shapes=[
             pltpu.VMEM((2, nrows, BTw, Cp), dt),
             pltpu.VMEM((nrows, BTw, Cp), dt),
-            pltpu.VMEM((M, 3 * Cp), dt),
-            pltpu.VMEM((M, Cp), jnp.float32),
+            patch_scr,
+            acc_scr,
             pltpu.VMEM((2, BF, BT, Cp), dt),
             pltpu.SemaphoreType.DMA((2, 5)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        input_output_aliases={1: 0},
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=4 * B * F * T8 * Cp,
             transcendentals=B * F * T8 * Cp,
@@ -528,8 +560,9 @@ def _build_fused_call(B, F, T, T8, C, Cp, d, dout, BF, BT, per_slab,
     )
 
 
-def _fused_plan(B, F, T, C, d, itembytes=2, vmem_budget=10 * 2**20):
-    """Tile plan for the fused stage (adds the hbuf term)."""
+def _fused_plan(B, F, T, C, d, variant="kt3", itembytes=2,
+                vmem_budget=12 * 2**20):
+    """Tile plan for the fused stage."""
     T8 = -(-T // 8) * 8
     best = None
     for BT in _divisors_desc(T8):
@@ -541,14 +574,23 @@ def _fused_plan(B, F, T, C, d, itembytes=2, vmem_budget=10 * 2**20):
                 continue
             per_slab = d >= BF
             nrows = 5 * BF if per_slab else BF + 4 * d
+            if variant == "kt3":
+                patch_b = 2 * M * 3 * C * itembytes
+                acc_b = M * C * 4
+                dot_tmp = M * C * 4
+            else:
+                M2 = BF * (BT + 16)
+                patch_b = M2 * 5 * C * itembytes
+                acc_b = M * C * 4
+                dot_tmp = 2 * M2 * C * 4  # pk + shifted slice temps
             vmem = (
                 3 * nrows * (BT + 16) * C * itembytes     # xbuf x2 + hbuf
-                + M * 3 * C * itembytes                    # patch
-                + M * C * 4                                # acc
+                + patch_b
+                + acc_b
                 + 2 * M * C * itembytes                    # obuf
                 + 15 * C * C * itembytes                   # weights
-                + 3 * M * C * 4                            # epilogue f32 temps
-                + 2 * 2**20                                # prologue strip temps
+                + 3 * M * C * 4 + dot_tmp                  # f32 temps
+                + 2 * 2**20                                # prologue strips
             )
             if vmem > vmem_budget:
                 continue
@@ -560,48 +602,66 @@ def _fused_plan(B, F, T, C, d, itembytes=2, vmem_budget=10 * 2**20):
     return None if best is None else best[1]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def fused_stage_padded(xp, wk, a, s, static):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def fused_stage_padded(xp, prev, w4, a, s, static):
     """Fused ResnetBlock dilation stage on the chained padded layout.
 
-    xp: (B, F+4d, T8+16, Cp) activations (real data at
-        [:, 2d:2d+F, 8:8+T, :C]; margins may hold garbage).
-    wk: (5, 3*Cp, Cp) zero-padded weight matrix (HWIO reshaped).
-    a:  (B, Cp) f32 prologue multiplier  (gamma_sigma+1)/gn_denom.
-    s:  (B, Cp) f32 epilogue gate scale.
-    static: (d, dout, F, T, C, Cp) — dout is the NEXT stage's dilation
-        (0 for the last stage: output margins collapse).
-    Returns (yp, moments) with yp laid out for the next stage and
-    moments = per-(B, Cp) [sum, sum of squares] of the real output region.
+    xp:   (B, F+4dm, T8+16, Cp) activations — real data at
+          [:, 2dm:2dm+F, 8:8+T, :C]; margins, fake T cols and channel
+          lanes [C:Cp) are ZERO (established once at chain entry and
+          preserved by every stage via output aliasing).
+    prev: same-shaped ping-pong buffer whose storage the output reuses
+          (values ignored; margins must be zero).
+    w4:   (5, 3, Cp, Cp) zero-padded HWIO kernel.
+    a:    (B, Cp) f32 prologue multiplier  (gamma_sigma+1)/gn_denom.
+    s:    (B, Cp) f32 epilogue gate scale.
+    static: (dm, d, F, T, C, Cp) — dm is the chain's maximum dilation
+          (uniform margin), d this stage's dilation.
+    Returns (yp, moments): yp in prev's storage, moments = per-(B, Cp)
+    [sum, sum of squares] of the real output region.
     """
-    d, dout, F, T, C, Cp = static
+    dm, d, F, T, C, Cp = static
     B = xp.shape[0]
     T8 = xp.shape[2] - 16
     if _BACKEND == "xla" or (_BACKEND == "auto"
                              and not (_on_tpu() or _INTERPRET)):
-        return _dil_stage_ref(xp, wk, a, s, static)
-    plan = _fused_plan(B, F, T, Cp, d)
+        return _dil_stage_ref(xp, prev, w4, a, s, static)
+    variant = os.environ.get("BABE_FUSED_VARIANT", "kt3")
+    plan = _fused_plan(B, F, T, Cp, d, variant)
+    if plan is None and variant != "kt3":
+        variant = "kt3"
+        plan = _fused_plan(B, F, T, Cp, d, variant)
     if plan is None:
-        return _dil_stage_ref(xp, wk, a, s, static)
+        return _dil_stage_ref(xp, prev, w4, a, s, static)
     BF, BT, per_slab, T8p = plan
     assert T8p == T8, (T8p, T8)
-    call = _build_fused_call(B, F, T, T8, C, Cp, d, dout, BF, BT, per_slab,
-                             xp.dtype.name, _INTERPRET)
-    return call(xp, wk.astype(xp.dtype), a.astype(jnp.float32),
+    if variant == "kt3":
+        wk = w4.reshape(5, 3 * Cp, Cp)
+    else:  # (3, 5*Cp, Cp): kt-major dots over kf-batched K
+        wk = jnp.transpose(w4, (1, 0, 2, 3)).reshape(3, 5 * Cp, Cp)
+    call = _build_fused_call(B, F, T, T8, C, Cp, dm, d, BF, BT, per_slab,
+                             xp.dtype.name, _INTERPRET, variant)
+    return call(xp, prev, wk.astype(xp.dtype), a.astype(jnp.float32),
                 s.astype(jnp.float32))
 
 
-def _fused_fwd(xp, wk, a, s, static):
-    return fused_stage_padded(xp, wk, a, s, static), (xp, wk, a, s)
+def _fused_fwd(xp, prev, w4, a, s, static):
+    return fused_stage_padded(xp, prev, w4, a, s, static), (xp, w4, a, s)
 
 
 def _fused_bwd(static, res, g):
-    xp, wk, a, s = res
-    _, vjp = jax.vjp(lambda *ops: _dil_stage_ref(*ops, static), xp, wk, a, s)
-    return vjp(g)
+    xp, w4, a, s = res
+    prev = jnp.zeros_like(xp)
+    _, vjp = jax.vjp(
+        lambda xx, ww, aa, ss: _dil_stage_ref(xx, prev, ww, aa, ss, static),
+        xp, w4, a, s)
+    dx, dw, da, ds = vjp(g)
+    return dx, jnp.zeros_like(xp), dw, da, ds
 
 
 fused_stage_padded.defvjp(_fused_fwd, _fused_bwd)
+
+
 
 
 def conv2d_same(x, w, dilation=(1, 1)):

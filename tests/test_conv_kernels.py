@@ -103,38 +103,43 @@ def test_fused_resnet_chain_parity(rng, monkeypatch, T):
                                rtol=2e-4, atol=2e-4)
 
 
-def test_fused_stage_matches_ref(rng):
+@pytest.mark.parametrize("variant", ["kt3", "kf5"])
+def test_fused_stage_matches_ref(rng, monkeypatch, variant):
     import babe_tpu.ops.conv_kernels as ck
 
-    B, F, T, C, Cp, d = 2, 16, 24, 8, 128, 2
+    monkeypatch.setenv("BABE_FUSED_VARIANT", variant)
+    B, F, T, C, Cp, dm, d = 2, 16, 24, 8, 128, 4, 2
     T8 = 24
     xnp = rng.standard_normal(
-        (B, F + 4 * d, T8 + 16, Cp)).astype(np.float32)
-    # layout contract: F/T margins may hold garbage, but the padded channel
-    # lanes [C:Cp) are zero (the entry pad zeroes them; zero weight columns
-    # keep them zero through every stage)
+        (B, F + 4 * dm, T8 + 16, Cp)).astype(np.float32)
+    # layout contract: margins, fake T cols and channel lanes [C:Cp) are
+    # all zero (established at chain entry, preserved by aliasing)
     xnp[..., C:] = 0.0
+    xnp[:, :2 * dm] = 0.0
+    xnp[:, 2 * dm + F:] = 0.0
+    xnp[:, :, :8] = 0.0
+    xnp[:, :, 8 + T:] = 0.0
     xp = jnp.asarray(xnp)
+    prev = jnp.zeros_like(xp)
     w = 0.1 * rng.standard_normal((5, 3, Cp, Cp)).astype(np.float32)
     w[:, :, C:, :] = 0.0
     w[:, :, :, C:] = 0.0
-    wk = jnp.asarray(w.reshape(5, 3 * Cp, Cp))
+    w4 = jnp.asarray(w)
     a = jnp.asarray(rng.standard_normal((B, Cp)).astype(np.float32))
     s = jnp.asarray(rng.standard_normal((B, Cp)).astype(np.float32))
-    static = (d, 4, F, T, C, Cp)
+    static = (dm, d, F, T, C, Cp)
 
-    ref_y, ref_m = ck._dil_stage_ref(xp, wk, a, s, static)
+    ref_y, ref_m = ck._dil_stage_ref(xp, prev, w4, a, s, static)
 
     old_b, old_i = ck._BACKEND, ck._INTERPRET
     ck._BACKEND, ck._INTERPRET = "pallas", True
     try:
-        y, m = ck.fused_stage_padded(xp, wk, a, s, static)
+        y, m = ck.fused_stage_padded(xp, prev, w4, a, s, static)
     finally:
         ck._BACKEND, ck._INTERPRET = old_b, old_i
 
-    dout = 4
-    ry = np.asarray(y[:, 2 * dout:2 * dout + F, 8:8 + T, :C])
-    rr = np.asarray(ref_y[:, 2 * dout:2 * dout + F, 8:8 + T, :C])
+    ry = np.asarray(y[:, 2 * dm:2 * dm + F, 8:8 + T, :C])
+    rr = np.asarray(ref_y[:, 2 * dm:2 * dm + F, 8:8 + T, :C])
     np.testing.assert_allclose(ry, rr, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(m), np.asarray(ref_m),
                                rtol=1e-3, atol=1e-3)
