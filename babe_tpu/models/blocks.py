@@ -25,11 +25,22 @@ import jax.numpy as jnp
 import numpy as np
 
 from babe_tpu.ops.conv_kernels import (
+    _gelu_exact,
     _round128,
     conv2d_same,
+    conv_xla,
     fused_stage_active,
     fused_stage_padded,
 )
+
+
+def gelu_exact(x):
+    """Exact-erf gelu; in bf16 compute uses the A&S fp32 approximation
+    (|err| <= 1.5e-7, three orders below bf16 resolution) which costs ~15
+    VPU ops/element vs ~50 for XLA's erf lowering."""
+    if x.dtype == jnp.bfloat16:
+        return _gelu_exact(x)
+    return nn.gelu(x, approximate=False)
 
 SQRT2 = math.sqrt(2.0)
 
@@ -82,6 +93,7 @@ class _Conv2dParams(nn.Module):
     use_bias: bool
     init_weight: float
     in_features: int | None = None  # for kernel-only access (x=None)
+    impl: str = "auto"  # 'conv' pins 1x1s to the conv layout world
 
     @nn.compact
     def __call__(self, x):
@@ -91,7 +103,14 @@ class _Conv2dParams(nn.Module):
                        (kf, kt, cin, self.features))
         if x is None:
             return k
-        y = conv2d_same(x, k.astype(x.dtype), self.dilation)
+        if self.impl == "conv":
+            # lax.conv even for 1x1: keeps this op in the convolution
+            # layout world ({3,0,2,1} on TPU), avoiding the two layout-
+            # conversion copies a matmul-world round trip costs when the
+            # neighbours are (5,3) convs.
+            y = conv_xla(x, k.astype(x.dtype), self.dilation)
+        else:
+            y = conv2d_same(x, k.astype(x.dtype), self.dilation)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + b.astype(y.dtype)
@@ -109,6 +128,7 @@ class Conv2d(nn.Module):
     init_weight: float = INIT_W
 
     in_features: int | None = None
+    impl: str = "auto"
 
     @nn.compact
     def __call__(self, x):
@@ -117,7 +137,8 @@ class Conv2d(nn.Module):
         without changing the parameter tree."""
         return _Conv2dParams(
             self.features, self.kernel, self.dilation, self.use_bias,
-            self.init_weight, in_features=self.in_features, name="conv",
+            self.init_weight, in_features=self.in_features, impl=self.impl,
+            name="conv",
         )(x)
 
 
@@ -319,9 +340,13 @@ class ResnetBlock(nn.Module):
     def __call__(self, x_in, sigma_emb):
         N = self.dim_out if self.proj_place == "before" else self.dim
 
+        # 1x1 projections that sit between (5,3) convs stay in the conv
+        # layout world; in pure-matmul blocks (kernel 1x1) they lower to dots
+        proj_impl = "conv" if self.kernel_size != (1, 1) else "auto"
+
         x = x_in
         if self.dim != N:
-            x = Conv2d(N, (1, 1), name="proj_in")(x)
+            x = Conv2d(N, (1, 1), impl=proj_impl, name="proj_in")(x)
 
         if self.attention_dict is not None:
             i_x = x
@@ -345,9 +370,16 @@ class ResnetBlock(nn.Module):
                 scale = Linear(N, init_weight=INIT_ZERO,
                                name=f"gate_{i}")(sigma_emb)
                 h = h * (gamma[:, None, None, :] + 1.0)
+                h = gelu_exact(h)
+                if self.kernel_size != (1, 1):
+                    # keep the gelu/affine chain OUT of the conv fusion: the
+                    # TPU conv emitter re-evaluates fused producers once per
+                    # kernel tap (15x for (5,3)), which measured 2-5x slower
+                    # than a clean conv (tools/conv_budget.py)
+                    h = jax.lax.optimization_barrier(h)
                 h = Conv2d(
                     N, self.kernel_size, dilation=(2**i, 1), name=f"H_{i}"
-                )(nn.gelu(h, approximate=False))
+                )(h)
                 x = (x0 + h * scale[:, None, None, :]) / SQRT2
 
         if self.proj_place == "after" and N != self.dim_out:
@@ -355,7 +387,8 @@ class ResnetBlock(nn.Module):
 
         res = x_in
         if self.dim != self.dim_out:
-            res = Conv2d(self.dim_out, (1, 1), name="res_conv")(x_in)
+            res = Conv2d(self.dim_out, (1, 1), impl=proj_impl,
+                         name="res_conv")(x_in)
         return (x + res) / SQRT2
 
     def _fused_dil_chain(self, x, sigma_emb, N):
