@@ -669,6 +669,8 @@ def conv2d_same(x, w, dilation=(1, 1)):
     for a 'SAME' NHWC conv with odd kernel."""
     kf, kt = w.shape[0], w.shape[1]
     if (kf, kt) == (1, 1):
+        if os.environ.get("BABE_1X1", "dot") == "conv":
+            return conv_xla(x, w, (1, 1))
         return conv1x1(x, w)
     if (kf, kt) == (5, 3):
         return conv5x3_dilated(x, w, int(dilation[0]))

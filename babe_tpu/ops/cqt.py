@@ -349,37 +349,126 @@ class CQT:
         With conjugate-mirror folding (compat mode): a slot whose full-grid
         bin is l > Ls/2 contributes conj(value) at Ls-l, and a slot exactly at
         0 or Ls/2 contributes value + conj(value) (its mirror band coincides).
+
+        Two map families are built: ``_gather_syn`` (synthesis semantics,
+        WITH the self-mirror double entries) and ``_gather_adj`` (the plain
+        slot->bin adjacency, no doubling) — the latter realizes the ADJOINT
+        of the analysis gather, so the custom vjps (installed here) keep both
+        differentiation directions scatter-free (the autodiff transpose of a
+        gather is a TPU scatter, measured at ~111 ms/NFE in the guided
+        sampler before this).
         """
         Ls = self.Ls
         n_rbins = Ls // 2 + 1
-        gmaps, gconjs = [], []
+
+        def build(double_self_mirror: bool):
+            gmaps, gconjs = [], []
+            for p in self._plans:
+                flat_idx = p.idx.reshape(-1)
+                flat_conj = (
+                    p.conj.reshape(-1) if p.conj is not None
+                    else np.zeros_like(flat_idx, dtype=bool)
+                )
+                used = (p.w_syn.reshape(-1) != 0) | (p.w_ana.reshape(-1) != 0)
+                buckets: dict[int, list[tuple[int, bool]]] = {}
+                for j, (l, cj, u) in enumerate(zip(flat_idx, flat_conj, used)):
+                    if not u:
+                        continue
+                    buckets.setdefault(int(l), []).append((j, bool(cj)))
+                    if (double_self_mirror and p.conj is not None
+                            and (l == 0 or l == Ls // 2)):
+                        # self-mirrored bin: band + mirror both land here
+                        buckets[int(l)].append((j, not bool(cj)))
+                max_occ = max((len(v) for v in buckets.values()), default=1)
+                pad_slot = flat_idx.shape[0]  # points at an appended zero
+                gm = np.full((max_occ, n_rbins), pad_slot, dtype=np.int32)
+                gc = np.zeros((max_occ, n_rbins), dtype=bool)
+                for l, entries in buckets.items():
+                    for r, (j, cj) in enumerate(entries):
+                        gm[r, l] = j
+                        gc[r, l] = cj
+                gmaps.append(gm)
+                gconjs.append(gc if gc.any() else None)
+            return tuple(gmaps), tuple(gconjs)
+
+        self._gather_syn, self._gather_syn_conj = build(True)
+        self._gather_adj, self._gather_adj_conj = build(False)
+
+        # per-plan self-mirror slot masks (for the synthesis adjoint)
+        selfm = []
         for p in self._plans:
-            flat_idx = p.idx.reshape(-1)
-            flat_conj = (
-                p.conj.reshape(-1) if p.conj is not None
-                else np.zeros_like(flat_idx, dtype=bool)
-            )
-            used = (p.w_syn.reshape(-1) != 0) | (p.w_ana.reshape(-1) != 0)
-            buckets: dict[int, list[tuple[int, bool]]] = {}
-            for j, (l, cj, u) in enumerate(zip(flat_idx, flat_conj, used)):
-                if not u:
-                    continue
-                buckets.setdefault(int(l), []).append((j, bool(cj)))
-                if p.conj is not None and (l == 0 or l == Ls // 2):
-                    # self-mirrored bin: band + its mirror both land here
-                    buckets[int(l)].append((j, not bool(cj)))
-            max_occ = max((len(v) for v in buckets.values()), default=1)
-            pad_slot = flat_idx.shape[0]  # points at an appended zero
-            gm = np.full((max_occ, n_rbins), pad_slot, dtype=np.int32)
-            gc = np.zeros((max_occ, n_rbins), dtype=bool)
-            for l, entries in buckets.items():
-                for r, (j, cj) in enumerate(entries):
-                    gm[r, l] = j
-                    gc[r, l] = cj
-            gmaps.append(gm)
-            gconjs.append(gc if gc.any() else None)
-        self._gather_syn = tuple(gmaps)
-        self._gather_syn_conj = tuple(gconjs)
+            if p.conj is None:
+                selfm.append(None)
+                continue
+            used = (p.w_syn != 0) | (p.w_ana != 0)
+            sm = used & ((p.idx == 0) | (p.idx == Ls // 2))
+            selfm.append(sm if sm.any() else None)
+        self._selfmirror = tuple(selfm)
+
+        self._install_vjps()
+
+    # ----------------------------------------------- scatter-free custom vjps
+
+    def _occupancy_sum(self, flats, gmaps, gconjs):
+        """Sum per-slot values into the rfft grid through contributor maps.
+        flats: per-octave [..., bpo*M] complex (already windowed)."""
+        batch_shape = flats[0].shape[:-1]
+        Y = jnp.zeros((*batch_shape, self.Ls // 2 + 1), dtype=jnp.complex64)
+        for flat, gm, gc in zip(flats, gmaps, gconjs):
+            pad = [(0, 0)] * (flat.ndim - 1) + [(0, 1)]
+            flat = jnp.pad(flat, pad)  # trailing zero slot
+            for r, row in enumerate(gm):
+                v = flat[..., row]
+                if gc is not None:
+                    v = jnp.where(gc[r], jnp.conj(v), v)
+                Y = Y + v
+        return Y
+
+    def _fwd_spectrum_adj(self, gs):
+        """Adjoint of fwd_spectrum (cotangents of the octave coeffs -> the
+        spectrum cotangent), realized with the adjacency gather maps."""
+        flats = []
+        for p, g in zip(self._plans, gs):
+            # JAX cotangent convention: vjp(ifft) == ifft (conj-sandwich)
+            slb = jnp.fft.ifft(g, axis=-1) * p.w_ana
+            flats.append(slb.reshape(*g.shape[:-2], -1))
+        return self._occupancy_sum(flats, self._gather_adj, self._gather_adj_conj)
+
+    def _bwd_spectrum_adj(self, gY):
+        """Adjoint of bwd_spectrum (spectrum cotangent -> per-octave
+        coefficient cotangents): a plain analysis-style gather with the
+        synthesis windows."""
+        outs = []
+        for p, sm in zip(self._plans, self._selfmirror):
+            v = gY[..., p.idx]
+            if p.conj is not None:
+                v = jnp.where(p.conj, jnp.conj(v), v)
+            if sm is not None:
+                v = jnp.where(sm, 2.0 * jnp.real(v).astype(jnp.complex64), v)
+            slb = v * p.w_syn
+            # JAX cotangent convention: vjp(fft) == fft (conj-sandwich)
+            outs.append(jnp.fft.fft(slb, axis=-1).astype(jnp.complex64))
+        return tuple(outs)
+
+    def _install_vjps(self):
+        import jax
+
+        @jax.custom_vjp
+        def fwd_spec(X):
+            return self._fwd_spectrum_impl(X)
+
+        fwd_spec.defvjp(lambda X: (self._fwd_spectrum_impl(X), None),
+                        lambda _, gs: (self._fwd_spectrum_adj(gs),))
+
+        @jax.custom_vjp
+        def bwd_spec(coeffs):
+            return self._bwd_spectrum_impl(coeffs)
+
+        bwd_spec.defvjp(lambda c: (self._bwd_spectrum_impl(c), None),
+                        lambda _, gY: (self._bwd_spectrum_adj(gY),))
+
+        self._fwd_spec_vjp = fwd_spec
+        self._bwd_spec_vjp = bwd_spec
 
     # ------------------------------------------------------------------ compute
 
@@ -391,8 +480,7 @@ class CQT:
             x = jnp.pad(x, pad)
         return jnp.fft.rfft(x.astype(jnp.float32), axis=-1)  # [..., Ls//2+1]
 
-    def fwd_spectrum(self, X: jnp.ndarray) -> tuple[jnp.ndarray, ...]:
-        """Analysis from an rfft spectrum (for FFT-sharing fused pipelines)."""
+    def _fwd_spectrum_impl(self, X: jnp.ndarray) -> tuple[jnp.ndarray, ...]:
         outs = []
         for p in self._plans:
             sl = X[..., p.idx]  # [..., bpo, M]
@@ -403,9 +491,24 @@ class CQT:
             outs.append(jnp.fft.ifft(sl, axis=-1).astype(jnp.complex64))
         return tuple(outs)
 
+    def fwd_spectrum(self, X: jnp.ndarray) -> tuple[jnp.ndarray, ...]:
+        """Analysis from an rfft spectrum (for FFT-sharing fused pipelines).
+        Carries a scatter-free custom vjp (see _finalize_plans)."""
+        return self._fwd_spec_vjp(X)
+
     def fwd(self, x: jnp.ndarray) -> tuple[jnp.ndarray, ...]:
         """Analysis. x: [..., T] real, T <= audio_len. Returns octaves low->high."""
         return self.fwd_spectrum(self.spectrum(x))
+
+    def _bwd_spectrum_impl(self, coeffs: tuple[jnp.ndarray, ...]) -> jnp.ndarray:
+        assert len(coeffs) == self.num_octs
+        batch_shape = coeffs[0].shape[:-2]
+        flats = [
+            (jnp.fft.fft(c, axis=-1) * p.w_syn).reshape(*batch_shape, -1)
+            for p, c in zip(self._plans, coeffs)
+        ]
+        return self._occupancy_sum(flats, self._gather_syn,
+                                   self._gather_syn_conj)
 
     def bwd_spectrum(self, coeffs: tuple[jnp.ndarray, ...]) -> jnp.ndarray:
         """Synthesis up to (but not including) the final irfft — returns the
@@ -413,23 +516,9 @@ class CQT:
 
         Gather-based overlap-add: each octave's contributions are summed per
         target frequency through precomputed contributor maps — no scatter
-        (slow on TPU) anywhere in the forward synthesis."""
-        assert len(coeffs) == self.num_octs
-        batch_shape = coeffs[0].shape[:-2]
-        Y = jnp.zeros((*batch_shape, self.Ls // 2 + 1), dtype=jnp.complex64)
-        for p, gm, gc, c in zip(
-            self._plans, self._gather_syn, self._gather_syn_conj, coeffs
-        ):
-            sl = jnp.fft.fft(c, axis=-1) * p.w_syn  # [..., bpo, M]
-            flat = sl.reshape(*batch_shape, -1)
-            pad = [(0, 0)] * (flat.ndim - 1) + [(0, 1)]
-            flat = jnp.pad(flat, pad)  # trailing zero slot
-            for r, row in enumerate(gm):
-                v = flat[..., row]
-                if gc is not None:
-                    v = jnp.where(gc[r], jnp.conj(v), v)
-                Y = Y + v
-        return Y
+        (slow on TPU) in the forward, and the custom vjp keeps the backward
+        scatter-free too (see _finalize_plans)."""
+        return self._bwd_spec_vjp(tuple(coeffs))
 
     def bwd(self, coeffs: tuple[jnp.ndarray, ...], length: int | None = None) -> jnp.ndarray:
         """Synthesis from octave coefficients (lowest octave first)."""

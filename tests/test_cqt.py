@@ -104,7 +104,9 @@ def test_vjp_jvp_consistency(cqt, rng):
     )
     x_cot = jnp.asarray(rng.standard_normal((1, LEN)).astype(np.float32))
     zeros = tuple(jnp.zeros_like(c) for c in dC)
-    _, y_dot = jax.jvp(lambda z: cqt.bwd(z), (zeros,), (dC,))
+    # bwd is linear, so its jvp IS bwd itself (forward-mode is unavailable
+    # through the scatter-free custom_vjp)
+    y_dot = cqt.bwd(dC)
     _, vjp = jax.vjp(lambda z: cqt.bwd(z), zeros)
     ct = vjp(x_cot)[0]
     lhs = float(jnp.sum(x_cot * y_dot))
@@ -131,3 +133,60 @@ def test_small_configs():
         y = c.bwd(C)
         assert y.shape == (1, length)
         assert np.all(np.isfinite(np.asarray(y)))
+
+
+@pytest.mark.parametrize("mode", ["native", "oct_pow2"])
+def test_cqt_custom_vjp_matches_autodiff(rng, mode):
+    """The scatter-free custom vjps of fwd_spectrum/bwd_spectrum must equal
+    jax's own transposition of the gather implementations (which lowers to
+    TPU scatters — the reason for the custom path)."""
+    import jax
+
+    c = CQT(3, 8, 4096.0, 2048, window="kaiser", beta=1.0, mode=mode)
+    n_rbins = c.Ls // 2 + 1
+    X = jnp.asarray((rng.standard_normal((2, n_rbins))
+                     + 1j * rng.standard_normal((2, n_rbins))).astype(np.complex64))
+
+    # fwd_spectrum adjoint
+    coeffs, vjp_custom = jax.vjp(c.fwd_spectrum, X)
+    _, vjp_auto = jax.vjp(c._fwd_spectrum_impl, X)
+    gs = tuple(
+        jnp.asarray((rng.standard_normal(co.shape)
+                     + 1j * rng.standard_normal(co.shape)).astype(np.complex64))
+        for co in coeffs
+    )
+    np.testing.assert_allclose(np.asarray(vjp_custom(gs)[0]),
+                               np.asarray(vjp_auto(gs)[0]),
+                               rtol=1e-4, atol=1e-4)
+
+    # bwd_spectrum adjoint
+    Y, bvjp_custom = jax.vjp(c.bwd_spectrum, coeffs)
+    _, bvjp_auto = jax.vjp(c._bwd_spectrum_impl, coeffs)
+    gY = jnp.asarray((rng.standard_normal(Y.shape)
+                      + 1j * rng.standard_normal(Y.shape)).astype(np.complex64))
+    for a, b in zip(bvjp_custom(gY)[0], bvjp_auto(gY)[0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_cqt_grad_through_roundtrip(rng):
+    """End-to-end gradient through fwd+bwd equals the autodiff of the
+    implementation path (guided-sampling usage)."""
+    import jax
+
+    c = CQT(3, 8, 4096.0, 2048, window="kaiser", beta=1.0, mode="native")
+    x = jnp.asarray(rng.standard_normal((2, 2048)).astype(np.float32))
+
+    def loss_pub(x):
+        return jnp.sum(jnp.abs(c.bwd(c.fwd(x), length=2048)) ** 2)
+
+    def loss_impl(x):
+        X = c.spectrum(x)
+        Y = c._bwd_spectrum_impl(c._fwd_spectrum_impl(X))
+        y = jnp.fft.irfft(Y, n=c.Ls, axis=-1)[..., :2048]
+        return jnp.sum(jnp.abs(y) ** 2)
+
+    gp = jax.grad(loss_pub)(x)
+    gi = jax.grad(loss_impl)(x)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gi),
+                               rtol=1e-3, atol=1e-4)

@@ -37,7 +37,7 @@ LOGDIR = "/tmp/xprof_nfe"
 ITERS = 8
 
 
-def build(batch: int, seconds: float):
+def build(batch: int, seconds: float, mode: str = "fwd"):
     fs = 22050
     L = int(fs * seconds)
     args = _flagship_args(audio_len=L)
@@ -46,10 +46,21 @@ def build(batch: int, seconds: float):
     edm = EDM(EDMParams(sigma_data=0.063, sigma_min=1e-4, sigma_max=1.0,
                         ro=8, ro_train=13, Schurn=20))
     den = model.fused_denoiser(variables, edm)
+    sig = jnp.full((batch, 1), 0.1)
+
+    if mode == "vjp":
+        # the guided-sampling cost: forward + cotangent pullback through
+        # the denoiser (testing/blind_bwe_sampler.py:75-135 semantics)
+        def step(c):
+            xhat, vjpf = jax.vjp(lambda xx: den(xx, sig), c)
+            return vjpf(xhat)[0]
+    else:
+        def step(c):
+            return den(c, sig)
 
     def looped(x):
         def body(c, _):
-            return den(c, jnp.full((batch, 1), 0.1)), None
+            return step(c), None
 
         out, _ = jax.lax.scan(body, x, None, length=ITERS)
         return jnp.sum(jnp.abs(out).astype(jnp.float32))
@@ -136,7 +147,8 @@ def summarize(rows, batch):
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     seconds = float(sys.argv[2]) if len(sys.argv) > 2 else 5.0
-    jf, x = build(batch, seconds)
+    mode = sys.argv[3] if len(sys.argv) > 3 else "fwd"
+    jf, x = build(batch, seconds, mode)
     t0 = time.time()
     capture(jf, x)
     print(f"capture done in {time.time() - t0:.1f}s", file=sys.stderr)
