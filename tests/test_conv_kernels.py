@@ -165,3 +165,18 @@ def test_fused_chain_grads(rng, monkeypatch):
     gfus = jax.grad(lambda xx: jnp.sum(blk.apply(p, xx, emb) ** 2))(x)
     np.testing.assert_allclose(np.asarray(gfus), np.asarray(gref),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_gelu_exact_accuracy():
+    """The polynomial erf gelu must stay well below bf16 resolution against
+    XLA's native exact gelu, in value and gradient (guards coefficient
+    regressions)."""
+    import jax
+
+    x = jnp.asarray(np.linspace(-8, 8, 4001, dtype=np.float32))
+    ref = jax.nn.gelu(x, approximate=False)
+    out = ck._gelu_exact(x)
+    assert float(jnp.max(jnp.abs(out - ref))) < 2e-4
+    g_ref = jax.vmap(jax.grad(lambda t: jax.nn.gelu(t, approximate=False)))(x)
+    g_out = jax.vmap(jax.grad(ck._gelu_exact))(x)
+    assert float(jnp.max(jnp.abs(g_out - g_ref))) < 3e-3
