@@ -2,9 +2,11 @@
 
 Re-implementations of the reference data layer (datasets/, SURVEY.md §2.6)
 without torch DataLoader: streams are plain generators batched by
-:class:`Batcher` with background-thread prefetch (a C++ native loader is the
-planned replacement for the hot path — the reference's equivalent native layer
-is torch's DataLoader worker pool, utils/setup.py:10-45).
+:class:`Batcher` with background-thread prefetch; the hot path uses the C++
+native loader (``native/wavloader.cpp`` thread pool via ctypes, wired in by
+default in :func:`setup_dataset` below with a pure-Python fallback — the
+reference's equivalent native layer is torch's DataLoader worker pool,
+utils/setup.py:10-45).
 
 Behavior parity:
   * infinite iteration, random file, 8 random crops per opened file

@@ -35,9 +35,10 @@ from babe_tpu.ops.conv_kernels import (
 
 
 def gelu_exact(x):
-    """Exact-erf gelu; in bf16 compute uses the A&S fp32 approximation
-    (|err| <= 1.5e-7, three orders below bf16 resolution) which costs ~15
-    VPU ops/element vs ~50 for XLA's erf lowering."""
+    """Exact-erf gelu; in bf16 compute uses the degree-10 Chebyshev erf
+    polynomial (|err| <= ~9e-6, well below bf16 resolution — see _ERF_C in
+    ops/conv_kernels.py) which is pure VPU polynomial work vs ~50 ops for
+    XLA's erf lowering."""
     if x.dtype == jnp.bfloat16:
         return _gelu_exact(x)
     return nn.gelu(x, approximate=False)

@@ -18,9 +18,10 @@ Two replacements, both drop-in 'SAME' NHWC convolutions:
   with double-buffered async DMA (the F-halo of the dilated window is read
   once per tile, not once per tap), and accumulation is fp32.
 
-Both carry a ``jax.custom_vjp`` whose backward is built with
-``jax.linear_transpose`` (no forward recomputation), so they are safe inside
-the guided-sampling vjp (testing/blind_bwe_sampler.py:75-135 semantics).
+The Pallas kernel carries a ``jax.custom_vjp`` whose backward is built with
+``jax.linear_transpose`` (no forward recomputation), so it is safe inside
+the guided-sampling vjp (testing/blind_bwe_sampler.py:75-135 semantics);
+``conv1x1`` is a plain einsum and relies on standard autodiff.
 
 Backend selection: ``set_backend("pallas"|"xla"|"auto")`` or env
 ``BABE_CONV_BACKEND``; "auto" uses Pallas on TPU when the shape tiles, XLA
@@ -105,7 +106,7 @@ def _plan(B, F, T, C, N, d, itembytes=2, vmem_budget=10 * 2**20):
             if vmem > vmem_budget:
                 continue
             ntiles = B * (F // BF) * (T8 // BT)
-            read = ntiles * nrows * (BT + 2) * C
+            read = ntiles * nrows * (BT + 8) * C  # matches the BTp DMA window
             key = (read, -M)
             if best is None or key < best[0]:
                 best = (key, (BF, BT, per_slab, T8))
@@ -288,6 +289,9 @@ def conv5x3_dilated(x, w, d: int):
     assert (kf, kt) == (5, 3) and Ci == C
     if _BACKEND != "pallas":  # opt-in for now (see fused_stage_active)
         return conv_xla(x, w, (d, 1))
+    if not _on_tpu() and not _INTERPRET:
+        # Mosaic lowering only exists for TPU; honor the opt-in gracefully
+        return conv_xla(x, w, (d, 1))
     if C < 32:  # zero-pad waste to 128 lanes would dwarf the tiny FLOPs
         return conv_xla(x, w, (d, 1))
     plan = _plan(B, F, T, _round128(C), _round128(N), d)
@@ -318,7 +322,9 @@ def fused_stage_active() -> bool:
     the fused path measured 218 ms/NFE vs 164 ms for XLA+1x1-dots (patch
     build cost); default stays 'auto' = XLA until the kernel wins."""
     if _BACKEND == "pallas":
-        return True
+        # Mosaic lowering only exists for TPU; on other backends the opt-in
+        # is honored only in interpret mode (tests)
+        return _on_tpu() or _INTERPRET
     return False
 
 
@@ -683,6 +689,6 @@ def conv2d_same(x, w, dilation=(1, 1)):
         if os.environ.get("BABE_1X1", "dot") == "conv":
             return conv_xla(x, w, (1, 1))
         return conv1x1(x, w)
-    if (kf, kt) == (5, 3):
+    if (kf, kt) == (5, 3) and int(dilation[1]) == 1:
         return conv5x3_dilated(x, w, int(dilation[0]))
     return conv_xla(x, w, dilation)

@@ -451,6 +451,13 @@ class CQT:
         return tuple(outs)
 
     def _install_vjps(self):
+        """Install scatter-free custom vjps on the spectrum<->coeff maps.
+
+        NOTE: ``jax.custom_vjp`` removes forward-mode (jvp/linearize)
+        differentiability of fwd_spectrum/bwd_spectrum — only reverse mode
+        (grad/vjp, the sampler's guidance path) is supported.  Both ops are
+        linear, so if a future caller needs jvp, the jvp IS the op applied to
+        the tangent; thread it explicitly rather than calling jax.jvp."""
         import jax
 
         @jax.custom_vjp

@@ -4,8 +4,9 @@ TPU-native re-implementation of the blind-BWE objective machinery
 (reference: utils/blind_bwe_utils.py:41-296).  All functions are pure and
 differentiable; the piecewise log-log lowpass ``design_filter`` replicates the
 reference's semantics exactly, including the quantized-bin breakpoint values
-(H[f>=fc_i][0] continuity factor) — see tests/test_filters.py for the parity
-check against a literal numpy port of the reference loop.
+(H[f>=fc_i][0] continuity factor) — see
+tests/test_ops.py::test_design_filter_parity for the parity check against a
+literal numpy port of the reference loop.
 """
 
 from __future__ import annotations

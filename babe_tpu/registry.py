@@ -16,6 +16,9 @@ _ALIASES = {
     "networks.cqtdiff+.Unet_CQT_oct_with_attention": "babe_tpu.models.cqtdiff.CQTDiffPlus",
     "networks.denoiser.MultiStage_denoise": "babe_tpu.models.denoiser.MultiStageDenoiser",
     "diff_params.edm.EDM": "babe_tpu.diffusion.edm.EDM",
+    # the reference's A-weighted variant is the same EDM class with
+    # aweighting.use_aweighting=True (conf/diff_params/edm_aweighting.yaml)
+    "diff_params.edm_aweighting.EDM": "babe_tpu.diffusion.edm.EDM",
     "diff_params.edm_eps.EDM": "babe_tpu.diffusion.edm_eps.EDMEps",
     "diff_params.edm_PD.EDM": "babe_tpu.diffusion.edm_pd.EDMPD",
     "testing.blind_bwe_sampler.BlindSampler": "babe_tpu.sampling.blind.BlindSampler",

@@ -156,7 +156,10 @@ class BlindSampler(Sampler):
         """(reference: blind_bwe_sampler.py:619-769)
 
         Returns (x, filter_params) or, with rid, (x, filter_params,
-        data_denoised[T,B,L], t[T+1], data_filters[T,2,K]).
+        data_denoised[T,B,L], t[T+1], data_filters[T,2,K],
+        data_score[T,B,L]) — the score trajectory matches the reference's
+        rich-info capture (blind_bwe_sampler.py:417,463,491 stores
+        data_score alongside denoised/filters).
         """
         cfg = self.cfg
         b = self.blind
@@ -224,7 +227,7 @@ class BlindSampler(Sampler):
                 d1_new = jnp.where(phase0, d, d1)
                 x_hat_out = jnp.where(phase0, x_hat_new, x_hat)
                 x_new = jnp.where(phase0, x, x_hat + h * 0.5 * (d1 + d))
-                out = (x_den, params) if rid else None
+                out = (x_den, params, sc) if rid else None
                 return (x_new, x_hat_out, d1_new, params, key), out
 
             n = cfg.T - 1
@@ -247,7 +250,9 @@ class BlindSampler(Sampler):
                 x_hat = x + jnp.sqrt(jnp.clip(t_hat**2 - t_i**2, 0.0)) * eps
                 score, params, x_den, key = stage(x_hat, t_hat, params, key)
                 x_new = x_hat + (t_ip1 - t_hat) * (-t_hat * score)
-                return (x_new, params, key), (x_den, params) if rid else None
+                return (x_new, params, key), (
+                    (x_den, params, score) if rid else None
+                )
 
             inps = (t[:-2], t[1:-1], gamma[:-2])
             (x, params, key), ys = jax.lax.scan(step, (x, params0, key), inps)
@@ -263,10 +268,11 @@ class BlindSampler(Sampler):
         x = x_hat - t_hat * score * (0.0 - t_hat)
 
         if rid:
-            dens, filts = ys
+            dens, filts, scores = ys
             dens = jnp.concatenate([dens, x_den[None]], axis=0)
             filts = jnp.concatenate([filts, params[None]], axis=0)
-            return x, params, dens, t, filts
+            scores = jnp.concatenate([scores, score[None]], axis=0)
+            return x, params, dens, t, filts, scores
         return x, params
 
     # ----------------------------------------------- informed / AR variants
@@ -398,21 +404,16 @@ class BlindSampler(Sampler):
                 else prepare_smooth_mask(mask, smooth_mask_size)
             )
             y_sm = smooth * y_masked
-            # data-consistency replacement on the feathered overlap region
-            orig_score = self._score
 
-            def score_with_dc(x, t, y=None, degradation=None, key=None):
-                sc = orig_score(x, t, y=y, degradation=degradation, key=key)
+            def dc_postprocess(sc, x, t):
+                # data-consistency replacement on the feathered overlap region
                 x_hat = sc * t**2 + x
                 x_hat = y_sm + x_hat - smooth * x_hat
                 return (x_hat - x) / t**2
 
-            self._score = score_with_dc
-            try:
-                out = self.predict_conditional(key, y, deg, rid=rid)
-            finally:
-                self._score = orig_score
-            return out
+            return self.predict_conditional(
+                key, y, deg, rid=rid, score_postprocess=dc_postprocess
+            )
         return self.predict_conditional(key, y, deg, rid=rid)
 
     def compute_sweep(self, denoised, y, fc_s=None, A_s=None):

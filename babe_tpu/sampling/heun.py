@@ -165,10 +165,15 @@ class Sampler:
         return (x_hat - x) / t**2
 
     def _run(self, key, shape, y=None, degradation=None, rid=False,
-             x_init=None):
+             x_init=None, score_postprocess=None):
         """``x_init``: optional explicit initial state (already scaled by
         t[0]); replaces the prior draw — used for warm-start experiments and
-        for deterministic golden-trajectory tests against the reference."""
+        for deterministic golden-trajectory tests against the reference.
+
+        ``score_postprocess``: optional pure callable ``(score, x, t) -> score``
+        applied after every score evaluation — the functional replacement for
+        the reference's in-place score-method override (e.g. the AR smooth-mask
+        data-consistency step, blind_bwe_sampler.py:259-303)."""
         cfg = self.cfg
         # warm start only when the observation lives in signal space
         # (phase-retrieval/resample observations have different shapes)
@@ -189,7 +194,12 @@ class Sampler:
             if warm:
                 x = y + x
 
-        score = partial(self._score, y=y, degradation=degradation)
+        base_score = partial(self._score, y=y, degradation=degradation)
+        if score_postprocess is None:
+            score = base_score
+        else:
+            def score(x, t, key=None):
+                return score_postprocess(base_score(x, t, key=key), x, t)
 
         if cfg.order == 2:
             # Predictor/corrector unrolled into 2 half-steps per scan iteration
@@ -264,10 +274,10 @@ class Sampler:
         return self._run(key, shape, rid=rid, x_init=x_init)
 
     def predict_conditional(self, key, y, degradation, rid: bool = False,
-                            x_init=None):
+                            x_init=None, score_postprocess=None):
         """(reference: edm_sampler.py:157-164)"""
         return self._run(key, y.shape, y=y, degradation=degradation, rid=rid,
-                         x_init=x_init)
+                         x_init=x_init, score_postprocess=score_postprocess)
 
     def predict_resample(self, key, y, shape, degradation, rid: bool = False):
         return self._run(key, shape, y=y, degradation=degradation, rid=rid)

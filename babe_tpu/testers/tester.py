@@ -96,7 +96,13 @@ class Tester:
         """Place a host batch on the eval mesh, sharded along axis 0
         (batch size must be a multiple of the device count — callers pad)."""
         arr = jnp.asarray(arr)
-        if self.n_devices <= 1 or arr.shape[0] % self.n_devices:
+        if self.n_devices <= 1:
+            return arr
+        if arr.shape[0] % self.n_devices:
+            print(
+                f"NOTE: batch of {arr.shape[0]} not divisible by "
+                f"{self.n_devices} devices — running unsharded on one chip"
+            )
             return arr
         return jax.device_put(arr, batch_sharding(self.mesh))
 
@@ -340,7 +346,7 @@ class Tester:
                 seg = seg * 10 ** (gain / 20)
             y = self.apply_lowpass_fcA(seg, da_filter)
             y = self._maybe_add_snr_noise(y, bb.get("SNR_observations", "None"))
-            pred, est_params, dens, t, filts = run(self.next_key(), y)
+            pred, est_params, dens, t, filts, scores = run(self.next_key(), y)
             y_est = self.apply_lowpass_fcA(seg, est_params)
             dbmse = float(
                 filter_db_mse(
@@ -366,7 +372,8 @@ class Tester:
                 ulog.write_audio_file(np.asarray(audio), self.fs, n,
                                       self.paths["blind_bwe"] + "_" + tag)
             ulog.save_trajectory(self.paths["blind_bwe"], n + "_rid",
-                                 denoised=dens, t=t, filters=filts)
+                                 denoised=dens, t=t, filters=filts,
+                                 score=scores)
             ulog.diffusion_spec_animation(
                 dens, t, os.path.join(self.paths["blind_bwe"], n + "_anim.gif"),
                 fs=self.fs,
@@ -403,13 +410,14 @@ class Tester:
             sn = bb.get("sigma_norm", "None")
             if sn not in (None, "None"):
                 seg = float(sn) * seg / jnp.std(seg, -1, keepdims=True)
-            pred, est_params, dens, t, filts = run(self.next_key(), seg)
+            pred, est_params, dens, t, filts, scores = run(self.next_key(), seg)
             ulog.write_audio_file(np.asarray(seg), self.fs, n,
                                   self.paths["real_blind_bwe"] + "_degraded")
             ulog.write_audio_file(np.asarray(pred), self.fs, n,
                                   self.paths["real_blind_bwe"] + "_reconstructed")
             ulog.save_trajectory(self.paths["real_blind_bwe"], n + "_rid",
-                                 denoised=dens, t=t, filters=filts)
+                                 denoised=dens, t=t, filters=filts,
+                                 score=scores)
             self.metrics.log({"mode": "real_blind_bwe", "item": n,
                               "fc_est": np.asarray(est_params[0]).tolist(),
                               "A_est": np.asarray(est_params[1]).tolist()}, step=i)
@@ -591,6 +599,10 @@ class Tester:
                 degraded = np.asarray(resample(jnp.asarray(degraded), fs, self.fs))
             L = degraded.shape[-1]
             if L < segL:
+                print(
+                    f"SKIPPED {filename}: length {L} < segment length {segL} "
+                    "(formal_test_bwe requires at least one full segment)"
+                )
                 continue
             final = np.zeros_like(degraded)
             filter_data = []
@@ -723,13 +735,19 @@ class Tester:
                 seg = jnp.pad(seg, ((0, 0), (0, self.audio_len - seg.shape[-1])))
             y = self.apply_lowpass_fcA(seg, da_filter)
             y = self._maybe_add_snr_noise(y, bb.get("SNR_observations", "None"))
-            pred, est, dens, t, filts = run_blind(self.next_key(), y)
+            pred, est, dens, t, filts, scores = run_blind(self.next_key(), y)
+            # 4th stimulus: the estimated filter re-applied to the original
+            # (reference blind_bwe_tester_mushra.py:1003-1004
+            # "degraded_estimate_audio" column)
+            y_est = self.apply_lowpass_fcA(seg, est)
             for tag, audio in (("original", seg), ("degraded", y),
-                               ("reconstructed", pred)):
+                               ("reconstructed", pred),
+                               ("degraded_estimate", y_est)):
                 ulog.write_audio_file(np.asarray(audio), self.fs, n,
                                       self.paths["mushra"] + "_" + tag)
             ulog.save_trajectory(self.paths["mushra"], n + "_rid",
-                                 denoised=dens, t=t, filters=filts)
+                                 denoised=dens, t=t, filters=filts,
+                                 score=scores)
             if compute_sweep:
                 np.save(os.path.join(self.paths["mushra"], f"data_t{i}.npy"),
                         np.asarray(t))
@@ -858,4 +876,10 @@ class Tester:
                 )
             else:
                 raise NotImplementedError(f"tester mode {mode!r}")
+        self.close()
         return results
+
+    def close(self):
+        """Release the metrics JSONL handle (and wandb run). Idempotent —
+        called at the end of ``dodajob`` and safe for library embedders."""
+        self.metrics.close()

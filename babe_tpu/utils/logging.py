@@ -188,4 +188,7 @@ class MetricsLogger:
             self.run.log(data, step=step)
 
     def close(self):
-        self.file.close()
+        self.file.close()  # idempotent (file.close() is a no-op when closed)
+        if self.run is not None:
+            self.run.finish()
+            self.run = None

@@ -143,10 +143,15 @@ def test_predict_blind_bwe_runs(edm):
 def test_predict_blind_bwe_rid(edm):
     s = blind_sampler(edm, T=5, max_iter=5)
     y = jax.random.normal(jax.random.PRNGKey(5), (1, LEN)) * 0.5
-    x, params, dens, t, filts = s.predict_blind_bwe(jax.random.PRNGKey(6), y, rid=True)
+    x, params, dens, t, filts, scores = s.predict_blind_bwe(
+        jax.random.PRNGKey(6), y, rid=True
+    )
     assert dens.shape == (5, 1, LEN)
     assert filts.shape == (5, 2, 1)
     assert t.shape == (6,)
+    # score trajectory (reference blind_bwe_sampler.py:417,463,491 data_score)
+    assert scores.shape == (5, 1, LEN)
+    assert np.all(np.isfinite(np.asarray(scores)))
 
 
 def test_predict_bwe_ar(edm):
