@@ -134,6 +134,10 @@ class Tester:
             converted = convert_state_dict(extract_network_state(ckpt, prefer="ema"))
             self.variables = fill_variables(template, converted, strict=True)
             self.it = int(ckpt.get("it", 0)) if isinstance(ckpt, dict) else 0
+            if getattr(getattr(self.model, "cqt", None), "mode", None) in (
+                "oct_pow2", "compat",
+            ):
+                self._frame_self_check()
         else:
             with open(path, "rb") as f:
                 payload = pickle.load(f)
@@ -144,6 +148,49 @@ class Tester:
             }
             self.it = int(payload.get("it", 0))
         self._jit_cache.clear()
+
+    def _frame_self_check(self):
+        """Loud sanity check when torch weights meet the re-derived compat
+        CQT frame (VERDICT r2 next #3b).
+
+        At sigma == sigma_data the EDM preconditioning gives cskip = 1/2:
+        half of D(x) = cskip*x + cout*net(cin*x) must come from the network.
+        A TRAINED denoiser fed a clean in-band test signal returns D(x) ~= x
+        (relative residual well under ~0.35); if the frame's conventions
+        (coefficient scale, window split, octave ordering) diverged from the
+        cqt_nsgt_pytorch frame the checkpoint was trained with, the network
+        sees out-of-distribution coefficients and the residual lands near the
+        no-network value of 0.5 or above — failing loudly at load time
+        instead of decoding garbage.  Random-init / synthetic-test
+        checkpoints are EXPECTED to warn here."""
+        den, hpf = self._denoiser_fn()
+        sigma_data = float(self.edm.p.sigma_data)
+        # in-band test signal: one tone per octave of the model's CQT ladder,
+        # scaled to the training data RMS (sigma_data)
+        freqs = np.asarray(self.model.cqt.freqs)
+        bpo = self.model.cqt.bins_per_oct
+        picks = freqs[bpo // 2::bpo]
+        t_ax = np.arange(self.audio_len) / self.fs
+        x = np.sum([np.sin(2 * np.pi * f * t_ax) for f in picks], axis=0)
+        x = x / np.std(x) * sigma_data
+        x = jnp.asarray(x[None], jnp.float32)
+        if hpf is not None:
+            x = hpf(x)
+        sig = jnp.full((1, 1), sigma_data, jnp.float32)
+        x_hat = jax.jit(den)(x, sig)
+        resid = float(jnp.linalg.norm(x_hat - x) / jnp.linalg.norm(x))
+        if resid > 0.35:
+            print(
+                f"WARNING: frame self-check FAILED (relative denoiser "
+                f"residual {resid:.3f} at sigma={sigma_data:g}; trained "
+                f"weights + matching CQT frame should give << 0.35, a wrong "
+                f"frame or untrained weights give ~0.5+). If these are "
+                f"published weights, the oct_pow2 frame likely mismatches "
+                f"the cqt_nsgt_pytorch frame they were trained with."
+            )
+        else:
+            print(f"frame self-check OK (denoiser residual {resid:.3f} "
+                  f"at sigma={sigma_data:g})")
 
     def set_variables(self, params, buffers, it: int = 0):
         self.variables = {"params": params, "buffers": buffers}

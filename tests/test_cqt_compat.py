@@ -130,6 +130,86 @@ def test_jit_and_grad_compat():
     assert bool(jnp.all(jnp.isfinite(g)))
 
 
+# ------------------------------------------------- convention-pinning invariants
+# (VERDICT r2 next #3c: numeric invariants that pin the remaining free
+# conventions of the re-derived compat frame — coefficient scale on unit
+# tones, even-length window split — so a future live-parity run can only
+# fail on genuinely unknowable package quirks.)
+
+
+def test_unit_tone_coefficient_scale_per_octave(cqt_small):
+    """Coefficient-scale convention: analysis is plain-ifft (scale 1) with
+    window peak 1.0 at slot 0.  For a unit cosine at bin k's on-grid center
+    frequency l0, the spectrum is a single spike X[l0] = Ls/2, so
+    sum_n c_k[n] == slb[pos=0] == X[l0] * w_peak == Ls/2 EXACTLY.  Any
+    change to the scale convention (e.g. the package's sqrt normalization,
+    a 2/Ls analysis scale, or a peak-elsewhere window roll) breaks this."""
+    c = cqt_small
+    Ls = c.Ls
+    centers = np.round(np.asarray(c.freqs) * Ls / c.fs).astype(int)
+    t = np.arange(Ls)
+    for octave in range(c.num_octs):
+        k = octave * c.bins_per_oct + c.bins_per_oct // 2
+        l0 = centers[k]
+        x = jnp.asarray(np.cos(2 * np.pi * l0 * t / Ls)[None], jnp.float32)
+        coeffs = c.fwd(x)
+        s = complex(jnp.sum(coeffs[octave][0, c.bins_per_oct // 2]))
+        expected = Ls / 2.0
+        assert abs(s - expected) / expected < 1e-3, (
+            f"octave {octave}: sum {s} != {expected}"
+        )
+
+
+def test_even_window_split_convention(cqt_small):
+    """Even-length windows are the symmetric (m+1)-point window with the
+    LAST sample dropped: support offsets d in [-m/2, m/2-1] — the extra
+    sample sits on the NEGATIVE-frequency side.  Pinned directly on the
+    plan arrays: peak 1.0 at slot 0, symmetric pairs for |d| < m/2, the
+    +m/2 slot empty, the -m/2 slot occupied."""
+    c = cqt_small
+    Lg = np.asarray([int((p.w_ana[j] != 0).sum())
+                     for p in c._plans for j in range(c.bins_per_oct)])
+    checked = 0
+    for o, p in enumerate(c._plans):
+        for j in range(c.bins_per_oct):
+            m = int((p.w_ana[j] != 0).sum())
+            if m % 2 or m >= p.M:  # need even support without wraparound
+                continue
+            w = p.w_ana[j]
+            assert w[0] == 1.0, "window peak must be 1.0 at slot 0"
+            for d in range(1, m // 2):
+                left, right = w[(-d) % p.M], w[d % p.M]
+                assert abs(left - right) < 1e-6, (o, j, d, left, right)
+            assert w[(m // 2) % p.M] == 0.0, "split must drop the +m/2 sample"
+            assert w[(-(m // 2)) % p.M] > 0.0, "-m/2 sample must be kept"
+            checked += 1
+    assert checked > 0, f"no even-length bands found (supports: {Lg})"
+
+
+def test_octave_ordering_and_dtype(cqt_small):
+    """fwd returns lowest octave FIRST (the model consumes X_list[-1-i],
+    highest first — reference networks/cqtdiff+.py:743-753), complex64,
+    [B, bins_per_oct, M_o] with M_o doubling."""
+    x = jnp.asarray(np.random.default_rng(5).standard_normal((1, 22050)),
+                    jnp.float32)
+    coeffs = cqt_small.fwd(x)
+    assert len(coeffs) == cqt_small.num_octs
+    for o, cs in enumerate(coeffs):
+        assert cs.dtype == jnp.complex64
+        assert cs.shape == (1, cqt_small.bins_per_oct, cqt_small.M[o])
+    # energy concentrates with frequency ordering: a high tone lands in the
+    # LAST tuple entry, a low tone in the FIRST
+    t = np.arange(22050) / FS
+    hi = jnp.asarray(np.sin(2 * np.pi * 0.8 * FS / 2 * t)[None], jnp.float32)
+    lo = jnp.asarray(np.sin(2 * np.pi * FS / 2 / 2**4 * 1.1 * t)[None],
+                     jnp.float32)
+    ch, cl = cqt_small.fwd(hi), cqt_small.fwd(lo)
+    eh = [float(jnp.sum(jnp.abs(c) ** 2)) for c in ch]
+    el = [float(jnp.sum(jnp.abs(c) ** 2)) for c in cl]
+    assert int(np.argmax(eh)) == cqt_small.num_octs - 1
+    assert int(np.argmax(el)) == 0
+
+
 # ---------------------------------------------------------------- live parity
 try:  # pragma: no cover - activates when the real package is available
     import torch  # noqa: F401

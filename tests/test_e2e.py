@@ -226,6 +226,33 @@ def test_torch_pt_checkpoint_load(tester, tmp_path):
     assert np.all(np.isfinite(preds))
 
 
+def test_frame_self_check_warns_on_untrained_pt(tmp_path, capsys):
+    """Loading a torch .pt with the compat (oct_pow2) frame triggers the
+    loader-time frame self-check; untrained weights must WARN loudly
+    (a trained model + matching frame passes — VERDICT r2 next #3b)."""
+    import sys
+    import torch
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from torch_ref import build_reference_model
+
+    args = default_config(
+        tiny_overrides(str(tmp_path), "[unconditional]")
+        + ["network.cqt.mode=oct_pow2"]
+    )
+    model = CQTDiffPlus.from_config(args)
+    edm = EDM.from_config(args, cqt_hpf=model.apply_hpf_DC)
+    t = Tester(args, model, edm, test_set=None)
+    ref = build_reference_model(args)
+    p = str(tmp_path / "ref.pt")
+    torch.save({"it": 1, "ema": ref.state_dict()}, p)
+    t.load_checkpoint(p)
+    out = capsys.readouterr().out
+    assert "frame self-check" in out
+    # random-init weights leave the cskip residual ~0.5 -> must warn
+    assert "WARNING: frame self-check FAILED" in out
+
+
 def test_formal_test_bwe_ola(tester, tmp_path):
     """Directory OLA evaluation with batched chunks + idempotent resume."""
     from babe_tpu.data.wavio import read_wav
