@@ -451,8 +451,18 @@ class Trainer:
                 self.tester.test_inpainting()
             if "bwe" in modes:
                 self.tester.test_bwe()
-        except Exception as e:
-            print(f"heavy logging demo failed: {e}")
+        except Exception:
+            # demo failures must not kill a long training run, but they must
+            # be LOUD (full traceback) so tester regressions surface — and
+            # strict mode (tests / debugging) re-raises
+            import traceback
+
+            print("heavy logging demo FAILED:")
+            traceback.print_exc()
+            if bool(self.args.get_path("logging.strict_demos", False)) or (
+                os.environ.get("BABE_STRICT_DEMOS", "") not in ("", "0")
+            ):
+                raise
 
     def _jit_cache_get(self, name, fn):
         cache = getattr(self, "_aux_jit", None)
