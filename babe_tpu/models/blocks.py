@@ -34,6 +34,23 @@ from babe_tpu.ops.conv_kernels import (
 )
 
 
+def _layout_pin(x):
+    """Experimental: pin an intermediate to the conv-friendly {3,0,2,1}
+    physical layout (minor->major C,B,T,F — the layout XLA assigns to the
+    FAST in-situ conv levels; slow levels get {3,1,2,0}/{1,3,2,0}/{2,3,1,0}
+    and run 2-5x below their isolated speed).  Gated by BABE_LAYOUT_PIN:
+    unset = no-op, '3021' etc. selects the minor->major order."""
+    import os as _os
+
+    spec = _os.environ.get("BABE_LAYOUT_PIN", "")
+    if not spec or x.ndim != 4:
+        return x
+    from jax.experimental.layout import Layout, with_layout_constraint
+
+    minor_to_major = tuple(int(c) for c in spec)
+    return with_layout_constraint(x, Layout(tuple(reversed(minor_to_major))))
+
+
 def gelu_exact(x):
     """Exact-erf gelu; in bf16 compute uses the degree-10 Chebyshev erf
     polynomial (|err| <= ~9e-6, well below bf16 resolution — see _ERF_C in
@@ -44,6 +61,10 @@ def gelu_exact(x):
     return nn.gelu(x, approximate=False)
 
 SQRT2 = math.sqrt(2.0)
+# residual scalings multiply by the precomputed reciprocal: a per-element
+# divide lowers to reciprocal+newton on the VPU and dominated the guided
+# sampler's backward elementwise chains
+INV_SQRT2 = 1.0 / math.sqrt(2.0)
 
 
 def kaiming_uniform(scale: float) -> Callable:
@@ -200,8 +221,13 @@ class BiasFreeGroupNorm(nn.Module):
         # unbiased (torch x.std()) variance via E[x^2] - E[x]^2
         var = (sq - m * m) * (n / (n - 1.0))
         std = jnp.sqrt(jnp.maximum(var, 0.0))  # (B, g)
-        denom = jnp.repeat(std + self.eps, cg, axis=-1).astype(x.dtype)  # (B, C)
-        return x / denom[:, None, None, :] * gamma.astype(x.dtype)
+        # normalize as x * (gamma/denom): the divide happens once on the
+        # (B, C) vector, so the full-tensor op — and its entire autodiff
+        # backward — is a multiply (per-element divides dominated the
+        # guided sampler's backward loop fusions)
+        denom = jnp.repeat(std + self.eps, cg, axis=-1)  # (B, C) f32
+        scale = (gamma[None, :] / denom).astype(x.dtype)
+        return x * scale[:, None, None, :]
 
 
 class RFF_MLP_Block(nn.Module):
@@ -356,7 +382,7 @@ class ResnetBlock(nn.Module):
             h = BiasFreeGroupNorm(N, 8, name="norm2")(x)
             h = h * (gamma[:, None, None, :] + 1.0)
             h = TimeAttentionBlock(self.attention_dict, self.Fdim, name="attn_block")(h)
-            x = (i_x + h * scale[:, None, None, :]) / SQRT2
+            x = (i_x + h * scale[:, None, None, :]) * INV_SQRT2
 
         if (self.kernel_size == (5, 3) and self.use_norm
                 and self.num_dils > 0 and fused_stage_active()):
@@ -378,10 +404,13 @@ class ResnetBlock(nn.Module):
                     # kernel tap (15x for (5,3)), which measured 2-5x slower
                     # than a clean conv (tools/conv_budget.py)
                     h = jax.lax.optimization_barrier(h)
+                    h = _layout_pin(h)
                 h = Conv2d(
                     N, self.kernel_size, dilation=(2**i, 1), name=f"H_{i}"
                 )(h)
-                x = (x0 + h * scale[:, None, None, :]) / SQRT2
+                if self.kernel_size != (1, 1):
+                    h = _layout_pin(h)
+                x = (x0 + h * scale[:, None, None, :]) * INV_SQRT2
 
         if self.proj_place == "after" and N != self.dim_out:
             x = Conv2d(self.dim_out, (1, 1), name="proj_out")(x)
@@ -390,7 +419,7 @@ class ResnetBlock(nn.Module):
         if self.dim != self.dim_out:
             res = Conv2d(self.dim_out, (1, 1), impl=proj_impl,
                          name="res_conv")(x_in)
-        return (x + res) / SQRT2
+        return (x + res) * INV_SQRT2
 
     def _fused_dil_chain(self, x, sigma_emb, N):
         """Dilation stack via the fused Pallas stage kernel (one pass per

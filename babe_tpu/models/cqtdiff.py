@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from babe_tpu.models.blocks import (
-    SQRT2,
+    INV_SQRT2,
     AddFreqEncodingRFF,
     Conv2d,
     ResnetBlock,
@@ -110,7 +110,7 @@ class CQTDiffPlusNet(nn.Module):
             if i < n - 1:
                 X = resample_time(X, up=False)
             pyr_proj = Conv2d(dim_out, (5, 3), name=f"downs_{i}_1")(pyr)
-            X = (X + pyr_proj) / SQRT2
+            X = (X + pyr_proj) * INV_SQRT2
 
         Xout = None
         for b in range(self.num_bottleneck_layers):
@@ -143,7 +143,7 @@ class CQTDiffPlusNet(nn.Module):
                 dim_out, 2, self.use_norm, num_dils=1, kernel_size=(1, 1),
                 proj_place="after", emb_dim=self.emb_dim, name=f"ups_{pidx}_0",
             )(X, sigma_emb)
-            Xout = (Xout + out_head) / SQRT2
+            Xout = (Xout + out_head) * INV_SQRT2
 
             X = X[:, bpo:, :, :]
             Out, Xout = Xout[:, :bpo, :, :], Xout[:, bpo:, :, :]

@@ -93,8 +93,13 @@ def main():
                 B, F, T, C = dims
                 sz = re.match(r"(\d+)x(\d+)", win)
                 taps = int(sz.group(1)) * int(sz.group(2)) if sz else 15
-                # assume Cin from dims unless 2/bpo head convs; approximate Cin=C
-                fl = 2 * B * F * T * C * C * taps * max(nconv, 1)
+                # assume Cin from dims unless 2/bpo head convs; approximate
+                # Cin=C.  ms sums over all `cnt` fusion instances of this
+                # (shape, window), so the per-instance rate needs fl*cnt —
+                # omitting that factor once mislabeled the 3-instance
+                # (448,20,256) family "61-65 TF/s" when each instance ran at
+                # ~190 (PROFILE.md round-3 "unexplained in-situ effect").
+                fl = 2 * B * F * T * C * C * taps * max(nconv, 1) * max(cnt, 1)
                 tf = f"{fl / (ms / 1e3) / 1e12:.0f}"
         print(f"| {out} | {win} | {cnt}x{nconv} | {nextra} | {ms:7.2f} | {tf} |")
 

@@ -23,7 +23,8 @@ from tools.trace_nfe import build  # noqa: E402
 
 def main():
     names = [a for a in sys.argv[1:] if a.startswith("fusion")]
-    jf, x = build(8, 5.0)
+    mode = "vjp" if "vjp" in sys.argv[1:] else "fwd"
+    jf, x = build(8, 5.0, mode)
     txt = jf.lower(x).compile().as_text()
     with open("/tmp/nfe_hlo.txt", "w") as f:
         f.write(txt)
