@@ -339,21 +339,63 @@ _ERF_C = (1.1283750399e+00, -3.7607088364e-01, 1.1265245796e-01,
           -1.4950546990e-08, 2.3633496703e-10)
 
 
+def _erf_poly(z):
+    """Chebyshev erf on the (already clamped) argument."""
+    v = z * z
+    p = _ERF_C[-1]
+    for c in _ERF_C[-2::-1]:
+        p = p * v + c
+    return z * p
+
+
+def _gelu_impl(x):
+    xf = x.astype(jnp.float32)
+    z = jnp.clip(xf * 0.7071067811865475, -3.2, 3.2)
+    return (0.5 * xf * (1.0 + _erf_poly(z))).astype(x.dtype)
+
+
+_INV_SQRT2PI = 0.3989422804014327
+
+
+def _gelu_deriv(x):
+    """gelu'(x) = 0.5*(1+erf(x/sqrt2)) + x*phi(x), phi the std normal pdf.
+    Uses the same clamped erf polynomial as the forward (consistent to
+    ~1e-5) plus ONE exp — ~30 VPU ops."""
+    xf = x.astype(jnp.float32)
+    z = jnp.clip(xf * 0.7071067811865475, -3.2, 3.2)
+    return 0.5 * (1.0 + _erf_poly(z)) + xf * (
+        _INV_SQRT2PI * jnp.exp(-0.5 * xf * xf)
+    )
+
+
+@jax.custom_vjp
 def _gelu_exact(x):
     """Exact-erf gelu for TPU compute paths (Mosaic has no erf/erfc
     lowering, and XLA's own erf expansion costs ~50 VPU ops/element).
 
     fp32 internals, |gelu error| <= ~1e-5*|x| — three orders of magnitude
     below bf16 resolution, so golden parity with
-    torch.nn.GELU(approximate='none') is unaffected."""
-    xf = x.astype(jnp.float32)
-    z = jnp.clip(xf * 0.7071067811865475, -3.2, 3.2)
-    v = z * z
-    p = _ERF_C[-1]
-    for c in _ERF_C[-2::-1]:
-        p = p * v + c
-    erf = z * p
-    return (0.5 * xf * (1.0 + erf)).astype(x.dtype)
+    torch.nn.GELU(approximate='none') is unaffected.
+
+    Carries a custom vjp: without it, XLA's backward fusions rematerialize
+    the whole producer chain (concat + GroupNorm + affine + the 10-degree
+    Horner) AND differentiate it by a second Horner chain plus the clamp's
+    select/divide machinery — ~140 VPU ops/element, measured at VPU
+    speed-of-light in the guided sampler (multiply_reduce fusions,
+    tools/trace_nfe.py vjp mode).  The custom backward is the direct
+    analytic derivative (~30 ops) against the saved input."""
+    return _gelu_impl(x)
+
+
+def _gelu_fwd(x):
+    return _gelu_impl(x), x
+
+
+def _gelu_bwd(x, g):
+    return ((g.astype(jnp.float32) * _gelu_deriv(x)).astype(g.dtype),)
+
+
+_gelu_exact.defvjp(_gelu_fwd, _gelu_bwd)
 
 
 

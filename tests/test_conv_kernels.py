@@ -178,5 +178,8 @@ def test_gelu_exact_accuracy():
     out = ck._gelu_exact(x)
     assert float(jnp.max(jnp.abs(out - ref))) < 2e-4
     g_ref = jax.vmap(jax.grad(lambda t: jax.nn.gelu(t, approximate=False)))(x)
+    # the custom vjp's direct analytic-derivative polynomial (erf poly + one
+    # exp, ~30 VPU ops vs ~140 for the autodiffed chain) must track the true
+    # gelu' to ~1e-5 — well below bf16 cotangent resolution
     g_out = jax.vmap(jax.grad(ck._gelu_exact))(x)
-    assert float(jnp.max(jnp.abs(g_out - g_ref))) < 3e-3
+    assert float(jnp.max(jnp.abs(g_out - g_ref))) < 5e-5
