@@ -47,17 +47,20 @@ def _pin_spec():
 
     spec = _os.environ.get("BABE_LAYOUT_PIN", "auto")
     if spec in ("", "off", "0"):
-        return "off", None
-    mode = "fwd"
+        return "off", None, None
+    mode, maxc = "fwd", None
     if spec in ("auto", "bwd"):
         import jax as _jax
 
         if _jax.default_backend() in ("cpu", "gpu") or _jax.device_count() != 1:
-            return "off", None
+            return "off", None, None
         mode, spec = "bwd", "3021"
-    elif spec == "fwd":
+    elif spec.startswith("fwd"):
+        # 'fwd' or 'fwd<=N' (pin forward intermediates only at levels with
+        # at most N channels — the relayout copies concentrate at C=64)
+        maxc = int(spec[5:]) if spec.startswith("fwd<=") else None
         spec = "3021"
-    return mode, tuple(int(c) for c in spec)
+    return mode, tuple(int(c) for c in spec), maxc
 
 
 def _constrain(x, minor_to_major):
@@ -94,11 +97,13 @@ def _layout_pin(x):
     ms/NFE with full pinning).  See _pin_spec for the BABE_LAYOUT_PIN knob."""
     if x.ndim != 4:
         return x
-    mode, mm = _pin_spec()
+    mode, mm, maxc = _pin_spec()
     if mode == "off":
         return x
     if mode == "bwd":
         return _cotangent_pin(x, mm)
+    if maxc is not None and x.shape[-1] > maxc:
+        return _cotangent_pin(x, mm)  # still pin the backward at big-C levels
     return _constrain(x, mm)
 
 
@@ -272,13 +277,8 @@ class BiasFreeGroupNorm(nn.Module):
         # unbiased (torch x.std()) variance via E[x^2] - E[x]^2
         var = (sq - m * m) * (n / (n - 1.0))
         std = jnp.sqrt(jnp.maximum(var, 0.0))  # (B, g)
-        # normalize as x * (gamma/denom): the divide happens once on the
-        # (B, C) vector, so the full-tensor op — and its entire autodiff
-        # backward — is a multiply (per-element divides dominated the
-        # guided sampler's backward loop fusions)
-        denom = jnp.repeat(std + self.eps, cg, axis=-1)  # (B, C) f32
-        scale = (gamma[None, :] / denom).astype(x.dtype)
-        return x * scale[:, None, None, :]
+        denom = jnp.repeat(std + self.eps, cg, axis=-1).astype(x.dtype)  # (B, C)
+        return x / denom[:, None, None, :] * gamma.astype(x.dtype)
 
 
 class RFF_MLP_Block(nn.Module):
