@@ -122,12 +122,38 @@ class BlindSampler(Sampler):
             Xden, Y, H, self.blind.freq_weighting_filter
         )
 
+    def _fit_stats(self, Xden, Y):
+        """Per-frequency sufficient statistics of the fit objective.
+
+        || (|X|·H - |Y|) w ||^2 = sum_F w_F^2 (H_F^2 a_F - 2 H_F b_F + c_F)
+        with a = sum_{B,T} |X|^2, b = sum |X||Y|, c = sum |Y|^2 — EXACT, so
+        the <=100-iteration GD loop touches only [F]-length vectors instead
+        of the full (B, F, T) magnitudes every iteration (same objective and
+        gradients as reference blind_bwe_sampler.py:522-531)."""
+        from babe_tpu.ops.filters import _freq_weighting
+
+        Xm, Ym = jnp.abs(Xden), jnp.abs(Y)
+        w = _freq_weighting(
+            jnp.linspace(0.0, 1.0, Xm.shape[-2]), self.blind.freq_weighting_filter
+        )
+        w2 = w * w
+        a = jnp.sum(Xm * Xm, axis=(0, -1)) * w2
+        bb = jnp.sum(Xm * Ym, axis=(0, -1)) * w2
+        c = jnp.sum(Ym * Ym, axis=(0, -1)) * w2
+        return a, bb, c
+
+    def _objective_from_stats(self, stats, params):
+        a, bb, c = stats
+        H = design_filter(params[0], params[1], self.freqs)
+        return jnp.sqrt(jnp.sum(H * H * a - 2.0 * H * bb + c))
+
     def fit_params(self, Xden, Y, params0):
         """Projected gradient descent with tolerance early-exit
         (reference: blind_bwe_sampler.py:533-595) as a lax.while_loop."""
         b = self.blind
         mu = jnp.asarray(b.mu)[:, None]
-        grad_fn = jax.grad(lambda p: self._objective(Xden, Y, p))
+        stats = self._fit_stats(Xden, Y)
+        grad_fn = jax.grad(lambda p: self._objective_from_stats(stats, p))
 
         def cond(state):
             _, _, i, done = state
