@@ -27,10 +27,13 @@ from babe_tpu.models.blocks import (
     INV_SQRT2,
     AddFreqEncodingRFF,
     Conv2d,
-    ResnetBlock,
+    ResnetBlock as _ResnetBlock,
     RFF_MLP_Block,
     resample_time,
 )
+
+# jax.checkpoint-wrapped block for memory-bound training (see `remat` field)
+_ResnetBlockRemat = nn.remat(_ResnetBlock)
 from babe_tpu.ops.cqt import CQT, get_cqt
 
 
@@ -53,6 +56,13 @@ class CQTDiffPlusNet(nn.Module):
     attention_dict: Any = None
     num_bottleneck_layers: int = 1
     compute_dtype: Any = jnp.float32
+    # rematerialize each ResnetBlock in the backward pass (jax.checkpoint).
+    # Training at the published config (batch 4, 184184 samples) needs
+    # ~24 GB of stored activations on a 16 GB v5e without it; with
+    # block-level remat only block boundaries are stored and the blocks'
+    # internals are recomputed during the backward.  Off by default
+    # (sampling doesn't need it; guided sampling fits without it).
+    remat: bool = False
 
     @nn.compact
     def __call__(self, coeffs, sigma):
@@ -61,6 +71,7 @@ class CQTDiffPlusNet(nn.Module):
         assert len(coeffs) == n
         sigma_emb = RFF_MLP_Block(emb_dim=self.emb_dim, name="embedding")(sigma)
         sigma_emb = sigma_emb.astype(self.compute_dtype)
+        ResnetBlock = _ResnetBlockRemat if self.remat else _ResnetBlock
 
         def as_real(c):
             # complex [B, F, M] -> (B, F, M, 2) channels-last
@@ -174,7 +185,7 @@ class CQTDiffPlus:
                  use_fencoding=False,
                  attention_layers=(0, 0, 0, 0, 0, 0, 0, 0),
                  attention_dict=None, num_bottleneck_layers=1,
-                 compute_dtype=jnp.float32, cqt_mode="native"):
+                 compute_dtype=jnp.float32, cqt_mode="native", remat=False):
         self.cqt: CQT = get_cqt(num_octs, bins_per_oct, float(fs), int(audio_len),
                                 window=window, beta=float(beta), mode=cqt_mode)
         self.audio_len = int(audio_len)
@@ -186,6 +197,7 @@ class CQTDiffPlus:
             attention_dict=attention_dict,
             num_bottleneck_layers=num_bottleneck_layers,
             compute_dtype=compute_dtype,
+            remat=bool(remat),
         )
 
     @classmethod
@@ -208,6 +220,7 @@ class CQTDiffPlus:
             num_bottleneck_layers=int(net.get("num_bottleneck_layers", 1)),
             compute_dtype=compute_dtype,
             cqt_mode=net.cqt.get("mode", "native"),
+            remat=bool(args.exp.get("remat", False)),
         )
 
     def init(self, key, batch: int = 1):

@@ -140,3 +140,35 @@ def test_training_loop_with_logging(trainer_setup):
     assert "loss" in keys
     assert any(k.startswith("error_oct_") for k in keys)
     assert any(k.startswith("feat/") for k in keys)
+
+
+def test_remat_grads_match():
+    """Block-level remat (exp.remat) must be numerically invisible: same
+    loss and grads as the unrematted model (only memory behavior differs)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from __graft_entry__ import _flagship_args
+    from babe_tpu.models.cqtdiff import CQTDiffPlus
+
+    args = _flagship_args(audio_len=4096, tiny=True)
+    m0 = CQTDiffPlus.from_config(args)
+    args.exp["remat"] = True
+    m1 = CQTDiffPlus.from_config(args)
+    v = m0.init(jax.random.PRNGKey(0), batch=1)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 4096)) * 0.1
+    cn = jnp.full((2, 1), -0.5)
+
+    def loss(model, params):
+        return jnp.sum(
+            model.apply({"params": params, "buffers": v.get("buffers", {})},
+                        x, cn) ** 2
+        )
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(m0, p))(v["params"])
+    l1, g1 = jax.value_and_grad(lambda p: loss(m1, p))(v["params"])
+    assert float(jnp.abs(l0 - l1)) < 1e-5
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
