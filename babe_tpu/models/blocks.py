@@ -23,6 +23,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
 from babe_tpu.ops.conv_kernels import (
     _gelu_exact,
@@ -192,7 +193,10 @@ class _Conv2dParams(nn.Module):
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + b.astype(y.dtype)
-        return y
+        # no-op outside jax.checkpoint; under remat_policy="save_convs"
+        # (models/cqtdiff.py) this marks conv/matmul outputs as saveable so
+        # the backward recomputes only elementwise chains
+        return checkpoint_name(y, "conv_out")
 
 
 class Conv2d(nn.Module):

@@ -32,8 +32,16 @@ from babe_tpu.models.blocks import (
     resample_time,
 )
 
-# jax.checkpoint-wrapped block for memory-bound training (see `remat` field)
+# jax.checkpoint-wrapped blocks for memory-bound training (see `remat` field).
+# "full" stores only block boundaries; "save_convs" additionally saves every
+# conv/matmul output inside the block (tagged "conv_out" in blocks.Conv2d) so
+# the backward recomputes only the cheap elementwise chains, not the
+# MXU-bound convolutions — more memory, faster step.
 _ResnetBlockRemat = nn.remat(_ResnetBlock)
+_ResnetBlockRematSaveConvs = nn.remat(
+    _ResnetBlock,
+    policy=jax.checkpoint_policies.save_only_these_names("conv_out"),
+)
 from babe_tpu.ops.cqt import CQT, get_cqt
 
 
@@ -63,6 +71,9 @@ class CQTDiffPlusNet(nn.Module):
     # internals are recomputed during the backward.  Off by default
     # (sampling doesn't need it; guided sampling fits without it).
     remat: bool = False
+    # "full" (recompute everything inside the block) or "save_convs"
+    # (save conv/matmul outputs, recompute only elementwise chains).
+    remat_policy: str = "full"
 
     @nn.compact
     def __call__(self, coeffs, sigma):
@@ -71,7 +82,12 @@ class CQTDiffPlusNet(nn.Module):
         assert len(coeffs) == n
         sigma_emb = RFF_MLP_Block(emb_dim=self.emb_dim, name="embedding")(sigma)
         sigma_emb = sigma_emb.astype(self.compute_dtype)
-        ResnetBlock = _ResnetBlockRemat if self.remat else _ResnetBlock
+        if not self.remat:
+            ResnetBlock = _ResnetBlock
+        elif self.remat_policy == "save_convs":
+            ResnetBlock = _ResnetBlockRematSaveConvs
+        else:
+            ResnetBlock = _ResnetBlockRemat
 
         def as_real(c):
             # complex [B, F, M] -> (B, F, M, 2) channels-last
@@ -185,7 +201,8 @@ class CQTDiffPlus:
                  use_fencoding=False,
                  attention_layers=(0, 0, 0, 0, 0, 0, 0, 0),
                  attention_dict=None, num_bottleneck_layers=1,
-                 compute_dtype=jnp.float32, cqt_mode="native", remat=False):
+                 compute_dtype=jnp.float32, cqt_mode="native", remat=False,
+                 remat_policy="full"):
         self.cqt: CQT = get_cqt(num_octs, bins_per_oct, float(fs), int(audio_len),
                                 window=window, beta=float(beta), mode=cqt_mode)
         self.audio_len = int(audio_len)
@@ -198,6 +215,7 @@ class CQTDiffPlus:
             num_bottleneck_layers=num_bottleneck_layers,
             compute_dtype=compute_dtype,
             remat=bool(remat),
+            remat_policy=str(remat_policy),
         )
 
     @classmethod
@@ -221,6 +239,7 @@ class CQTDiffPlus:
             compute_dtype=compute_dtype,
             cqt_mode=net.cqt.get("mode", "native"),
             remat=bool(args.exp.get("remat", False)),
+            remat_policy=str(args.exp.get("remat_policy", "full")),
         )
 
     def init(self, key, batch: int = 1):

@@ -172,3 +172,13 @@ def test_remat_grads_match():
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+    # save_convs policy (conv outputs kept, elementwise recomputed) must be
+    # equally invisible
+    args.exp["remat_policy"] = "save_convs"
+    m2 = CQTDiffPlus.from_config(args)
+    l2, g2 = jax.value_and_grad(lambda p: loss(m2, p))(v["params"])
+    assert float(jnp.abs(l0 - l2)) < 1e-5
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

@@ -33,12 +33,15 @@ from babe_tpu.training.trainer import TrainState, make_optimizer, make_train_ste
 SEG_SECONDS = 184184 / 22050.0
 
 
-def bench(batch: int, remat: bool = True) -> float:
+def bench(batch: int, remat: bool = True, remat_policy: str = "full") -> float:
     args = _flagship_args()  # audio_len=184184, published arch, bf16 compute
     args.exp["batch"] = batch
     # batch 4 without remat needs ~24 GB (16 GB HBM); batch 1 fits either way,
     # letting BABE_TRAIN_REMAT=0 measure the remat recompute cost directly.
+    # BABE_TRAIN_REMAT_POLICY=save_convs saves conv outputs inside blocks
+    # (backward recomputes only elementwise chains).
     args.exp["remat"] = remat
+    args.exp["remat_policy"] = remat_policy
     model = CQTDiffPlus.from_config(args)
     edm = EDM.from_config(args, cqt_hpf=model.apply_hpf_DC)
     optimizer = make_optimizer(args.exp)
@@ -67,7 +70,7 @@ def bench(batch: int, remat: bool = True) -> float:
     float(metrics["loss"])
     wall = (time.time() - t0) / n
     rt = batch * SEG_SECONDS / wall
-    print(f"train batch={batch} remat={remat}: {wall * 1e3:.0f} ms/step  "
+    print(f"train batch={batch} remat={remat} policy={remat_policy}: {wall * 1e3:.0f} ms/step  "
           f"{1.0 / wall:.2f} steps/s  {rt:.2f}x realtime audio trained/chip  "
           f"(loss {float(metrics['loss']):.4f}, compile+first {compile_s:.0f}s)")
     return rt
@@ -76,9 +79,10 @@ def bench(batch: int, remat: bool = True) -> float:
 def main():
     import os
     remat = os.environ.get("BABE_TRAIN_REMAT", "1") != "0"
+    policy = os.environ.get("BABE_TRAIN_REMAT_POLICY", "full")
     batches = [int(a) for a in sys.argv[1:]] or [4, 8]
     for b in batches:
-        bench(b, remat=remat)
+        bench(b, remat=remat, remat_policy=policy)
 
 
 if __name__ == "__main__":
