@@ -35,18 +35,22 @@ from babe_tpu.ops.conv_kernels import (
 )
 
 
-def _pin_spec():
-    """Resolve BABE_LAYOUT_PIN to (mode, minor_to_major) — mode in
-    {'off', 'bwd', 'fwd'}.
+def _pin_spec(field_spec: str = "auto"):
+    """Resolve the layout-pin spec to (mode, minor_to_major) — mode in
+    {'off', 'bwd', 'fwd'}.  The BABE_LAYOUT_PIN env var, when set, wins;
+    otherwise ``field_spec`` (the ResnetBlock.layout_pin module field) is
+    used — training builds the net with layout_pin='off' because the pin
+    is tuned for the guided sampler's input-cotangent graph and measured
+    +47% on the weight-gradient train step (324 -> 478 ms/step, batch 1).
 
-    'auto' (default) resolves to backward-only pinning on single-device TPU
+    'auto' resolves to backward-only pinning on single-device TPU
     and off elsewhere (layout constraints need a concrete single-device
     context; virtual CPU meshes don't benefit).  'fwd' / an explicit digit
     string like '3021' pins the forward intermediates too (costs ~1.6 % on
     the forward-only sampler, so not the default); 'off' disables."""
     import os as _os
 
-    spec = _os.environ.get("BABE_LAYOUT_PIN", "auto")
+    spec = _os.environ.get("BABE_LAYOUT_PIN", "") or (field_spec or "auto")
     if spec in ("", "off", "0"):
         return "off", None, None
     mode, maxc = "fwd", None
@@ -89,7 +93,7 @@ def _cp_bwd(minor_to_major, _res, g):
 _cotangent_pin.defvjp(_cp_fwd, _cp_bwd)
 
 
-def _layout_pin(x):
+def _layout_pin(x, field_spec: str = "auto"):
     """Pin an intermediate (or, default, just its backward cotangent) to the
     conv-friendly {3,0,2,1} physical layout — minor->major C,B,T,F, the
     layout XLA assigns to the FAST in-situ conv levels.  Left alone, other
@@ -98,7 +102,7 @@ def _layout_pin(x):
     ms/NFE with full pinning).  See _pin_spec for the BABE_LAYOUT_PIN knob."""
     if x.ndim != 4:
         return x
-    mode, mm, maxc = _pin_spec()
+    mode, mm, maxc = _pin_spec(field_spec)
     if mode == "off":
         return x
     if mode == "bwd":
@@ -417,6 +421,9 @@ class ResnetBlock(nn.Module):
     proj_place: str = "before"  # 'after' for decoder out-blocks
     attention_dict: Any = None
     Fdim: int = 128
+    # layout-pin spec for the dilated-conv chain ('auto'/'off'/'bwd'/'fwd');
+    # BABE_LAYOUT_PIN env overrides.  See _pin_spec.
+    layout_pin: str = "auto"
 
     @nn.compact
     def __call__(self, x_in, sigma_emb):
@@ -459,12 +466,12 @@ class ResnetBlock(nn.Module):
                     # kernel tap (15x for (5,3)), which measured 2-5x slower
                     # than a clean conv (tools/conv_budget.py)
                     h = jax.lax.optimization_barrier(h)
-                    h = _layout_pin(h)
+                    h = _layout_pin(h, self.layout_pin)
                 h = Conv2d(
                     N, self.kernel_size, dilation=(2**i, 1), name=f"H_{i}"
                 )(h)
                 if self.kernel_size != (1, 1):
-                    h = _layout_pin(h)
+                    h = _layout_pin(h, self.layout_pin)
                 x = (x0 + h * scale[:, None, None, :]) * INV_SQRT2
 
         if self.proj_place == "after" and N != self.dim_out:

@@ -17,6 +17,7 @@ X_list_out[i] at :826-830).
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Sequence
 
 import flax.linen as nn
@@ -74,6 +75,10 @@ class CQTDiffPlusNet(nn.Module):
     # "full" (recompute everything inside the block) or "save_convs"
     # (save conv/matmul outputs, recompute only elementwise chains).
     remat_policy: str = "full"
+    # layout-pin spec forwarded to the ResnetBlocks ('auto'/'off'/...);
+    # training entry points build with 'off' — the guided-sampler cotangent
+    # pin costs the weight-gradient train step ~47% (blocks._pin_spec).
+    layout_pin: str = "auto"
 
     @nn.compact
     def __call__(self, coeffs, sigma):
@@ -88,6 +93,7 @@ class CQTDiffPlusNet(nn.Module):
             ResnetBlock = _ResnetBlockRematSaveConvs
         else:
             ResnetBlock = _ResnetBlockRemat
+        ResnetBlock = functools.partial(ResnetBlock, layout_pin=self.layout_pin)
 
         def as_real(c):
             # complex [B, F, M] -> (B, F, M, 2) channels-last
@@ -202,7 +208,7 @@ class CQTDiffPlus:
                  attention_layers=(0, 0, 0, 0, 0, 0, 0, 0),
                  attention_dict=None, num_bottleneck_layers=1,
                  compute_dtype=jnp.float32, cqt_mode="native", remat=False,
-                 remat_policy="full"):
+                 remat_policy="full", layout_pin="auto"):
         self.cqt: CQT = get_cqt(num_octs, bins_per_oct, float(fs), int(audio_len),
                                 window=window, beta=float(beta), mode=cqt_mode)
         self.audio_len = int(audio_len)
@@ -216,6 +222,7 @@ class CQTDiffPlus:
             compute_dtype=compute_dtype,
             remat=bool(remat),
             remat_policy=str(remat_policy),
+            layout_pin=str(layout_pin),
         )
 
     @classmethod
@@ -240,6 +247,7 @@ class CQTDiffPlus:
             cqt_mode=net.cqt.get("mode", "native"),
             remat=bool(args.exp.get("remat", False)),
             remat_policy=str(args.exp.get("remat_policy", "full")),
+            layout_pin=str(net.get("layout_pin", "auto")),
         )
 
     def init(self, key, batch: int = 1):

@@ -410,6 +410,11 @@ class Tester:
                  "lsd_high_band": float(
                      lsd_high_band(seg, pred, self.fs, fc0).mean()
                  ),
+                 # degraded-input baseline: the number BWE must beat
+                 "lsd_degraded": float(lsd(seg, y).mean()),
+                 "lsd_high_band_degraded": float(
+                     lsd_high_band(seg, y, self.fs, fc0).mean()
+                 ),
                  "fc_est": np.asarray(est_params[0]).tolist(),
                  "A_est": np.asarray(est_params[1]).tolist()},
                 step=i,

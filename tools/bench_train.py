@@ -42,6 +42,8 @@ def bench(batch: int, remat: bool = True, remat_policy: str = "full") -> float:
     # (backward recomputes only elementwise chains).
     args.exp["remat"] = remat
     args.exp["remat_policy"] = remat_policy
+    # train.py defaults the guided-sampler layout pin off for training
+    args.network["layout_pin"] = "off"
     model = CQTDiffPlus.from_config(args)
     edm = EDM.from_config(args, cqt_hpf=model.apply_hpf_DC)
     optimizer = make_optimizer(args.exp)

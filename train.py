@@ -27,6 +27,11 @@ def _main(args):
 
     dset = setup_dataset(args)
     model_cls = get_obj_by_name(args.network.callable)
+    # the guided-sampler cotangent layout pin costs the weight-gradient
+    # train step ~47% — default it off for training (explicit
+    # network.layout_pin / BABE_LAYOUT_PIN still win; blocks._pin_spec)
+    if "layout_pin" not in args.network:
+        args.network["layout_pin"] = "off"
     model = model_cls.from_config(args)
     # resolve the diff-params family from config (EDM / EDMEps / EDMPD —
     # reference wires it through dnnlib the same way, utils/setup.py:47-51)
