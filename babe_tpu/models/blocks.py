@@ -28,6 +28,7 @@ from jax.ad_checkpoint import checkpoint_name
 from babe_tpu.ops.conv_kernels import (
     _gelu_exact,
     _round128,
+    conv1x1_convworld,
     conv2d_same,
     conv_xla,
     fused_stage_active,
@@ -54,17 +55,38 @@ def _pin_spec(field_spec: str = "auto"):
     if spec in ("", "off", "0"):
         return "off", None, None
     mode, maxc = "fwd", None
-    if spec in ("auto", "bwd"):
+    if spec in ("auto", "bwd") or spec.startswith("bwd"):
         import jax as _jax
 
         if _jax.default_backend() in ("cpu", "gpu") or _jax.device_count() != 1:
             return "off", None, None
-        mode, spec = "bwd", "3021"
+        if spec in ("auto", "bwd"):
+            # cotangent pin only at C>=96 levels: the C=64 transposed convs
+            # run faster in XLA's own layout choice (measured 282 -> 279
+            # ms/NFE on the guided vjp step, tools/time_nfe.py)
+            return "bwd", (3, 0, 2, 1), -96
+        else:
+            # 'bwd[DDDD][>=N]' — pin cotangents to layout DDDD, only at
+            # levels with at least N channels when >=N given (the C=64
+            # transposed convs prefer XLA's own choice)
+            import re as _re
+
+            m = _re.fullmatch(r"bwd(\d{4})?(?:>=(\d+))?", spec)
+            if m is None:
+                raise ValueError(f"bad BABE_LAYOUT_PIN spec: {spec!r}")
+            maxc = -int(m.group(2)) if m.group(2) else None  # negative = min-C
+            return "bwd", tuple(int(c) for c in (m.group(1) or "3021")), maxc
     elif spec.startswith("fwd"):
-        # 'fwd' or 'fwd<=N' (pin forward intermediates only at levels with
-        # at most N channels — the relayout copies concentrate at C=64)
-        maxc = int(spec[5:]) if spec.startswith("fwd<=") else None
-        spec = "3021"
+        # 'fwd[DDDD][<=N]' — pin forward intermediates to minor-to-major
+        # layout DDDD (default 3021), only at levels with at most N channels
+        # when <=N given (the relayout copies concentrate at C=64)
+        import re as _re
+
+        m = _re.fullmatch(r"fwd(\d{4})?(?:<=(\d+))?", spec)
+        if m is None:
+            raise ValueError(f"bad BABE_LAYOUT_PIN spec: {spec!r}")
+        maxc = int(m.group(2)) if m.group(2) else None
+        spec = m.group(1) or "3021"
     return mode, tuple(int(c) for c in spec), maxc
 
 
@@ -106,6 +128,8 @@ def _layout_pin(x, field_spec: str = "auto"):
     if mode == "off":
         return x
     if mode == "bwd":
+        if maxc is not None and maxc < 0 and x.shape[-1] < -maxc:
+            return x  # below the bwd>=N channel threshold: leave unpinned
         return _cotangent_pin(x, mm)
     if maxc is not None and x.shape[-1] > maxc:
         return _cotangent_pin(x, mm)  # still pin the backward at big-C levels
@@ -186,12 +210,26 @@ class _Conv2dParams(nn.Module):
                        (kf, kt, cin, self.features))
         if x is None:
             return k
-        if self.impl == "conv":
+        import os as _os
+
+        impl = _os.environ.get("BABE_PROJ_IMPL", "") or self.impl
+        if impl == "conv":
             # lax.conv even for 1x1: keeps this op in the convolution
             # layout world ({3,0,2,1} on TPU), avoiding the two layout-
             # conversion copies a matmul-world round trip costs when the
-            # neighbours are (5,3) convs.
-            y = conv_xla(x, k.astype(x.dtype), self.dilation)
+            # neighbours are (5,3) convs.  The backward is a matmul
+            # (conv1x1_convworld) unless BABE_PROJ_BWD=conv.
+            pin1x1 = _os.environ.get("BABE_1X1_PIN", "")
+            if pin1x1 and self.kernel == (1, 1) and jax.default_backend() == "tpu":
+                mm = tuple(int(c) for c in pin1x1)
+                x = _constrain(x, mm)
+            if (self.kernel == (1, 1)
+                    and _os.environ.get("BABE_PROJ_BWD", "conv") == "dot"):
+                y = conv1x1_convworld(x, k.astype(x.dtype))
+            else:
+                y = conv_xla(x, k.astype(x.dtype), self.dilation)
+            if pin1x1 and self.kernel == (1, 1) and jax.default_backend() == "tpu":
+                y = _constrain(y, mm)
         else:
             y = conv2d_same(x, k.astype(x.dtype), self.dilation)
         if self.use_bias:
@@ -433,6 +471,12 @@ class ResnetBlock(nn.Module):
         # layout world; in pure-matmul blocks (kernel 1x1) they lower to dots
         proj_impl = "conv" if self.kernel_size != (1, 1) else "auto"
 
+        # NOTE (measured, do not "optimize"): splitting proj_in/res_conv
+        # across the decoder's [up, skip] concat operands
+        # (conv1x1(concat(a,b)) == conv1x1(a)+conv1x1(b)) made the sampler
+        # SLOWER (fwd 114->118, vjp 279->284 ms/NFE): XLA already virtualizes
+        # the concat into its consumers, and the split halves the 1x1s'
+        # contraction depth (worse MXU fill).
         x = x_in
         if self.dim != N:
             x = Conv2d(N, (1, 1), impl=proj_impl, name="proj_in")(x)

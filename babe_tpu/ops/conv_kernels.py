@@ -72,6 +72,33 @@ def conv1x1(x, w):
     return y.astype(x.dtype)
 
 
+@jax.custom_vjp
+def conv1x1_convworld(x, w):
+    """1x1 conv lowered as a CONVOLUTION in the forward (keeps the op in the
+    conv layout world — a matmul here costs two relayout copies between the
+    neighbouring (5,3) convs) but with a MATMUL backward: XLA's transposed
+    1x1-conv emitter measured 6-20 TF/s in the guided sampler's vjp program
+    (tools/conv_budget.py, vjp mode) vs the HBM-bandwidth-floor dot."""
+    return conv_xla(x, w, (1, 1))
+
+
+def _c1cw_fwd(x, w):
+    return conv_xla(x, w, (1, 1)), (x, w)
+
+
+def _c1cw_bwd(res, g):
+    x, w = res
+    w2 = w[0, 0]
+    dx = jnp.einsum("bftn,cn->bftc", g, w2.astype(g.dtype),
+                    preferred_element_type=jnp.float32).astype(g.dtype)
+    dw = jnp.einsum("bftc,bftn->cn", x, g,
+                    preferred_element_type=jnp.float32)[None, None]
+    return dx, dw.astype(w.dtype)
+
+
+conv1x1_convworld.defvjp(_c1cw_fwd, _c1cw_bwd)
+
+
 # ------------------------------------------------------------ tile planning
 
 

@@ -41,6 +41,12 @@ def build(batch: int, seconds: float, mode: str = "fwd"):
     fs = 22050
     L = int(fs * seconds)
     args = _flagship_args(audio_len=L)
+    # BABE_REMAT=full|save_convs wraps each ResnetBlock in jax.checkpoint —
+    # A/B harness for recompute-vs-save in the guided vjp (tools/time_nfe.py)
+    rp = os.environ.get("BABE_REMAT", "")
+    if rp:
+        args.exp.remat = True
+        args.exp.remat_policy = rp
     model = CQTDiffPlus.from_config(args)
     variables = model.init(jax.random.PRNGKey(0), batch=1)
     edm = EDM(EDMParams(sigma_data=0.063, sigma_min=1e-4, sigma_max=1.0,
