@@ -292,6 +292,84 @@ class Conv1d(nn.Module):
         return conv(x)
 
 
+def _gn_forward(x, gamma, g: int, eps: float):
+    B, F, T, C = x.shape
+    cg = C // g
+    n = F * T * cg
+    # TPU-lane-friendly group statistics: reducing a (B,F,T,g,C/g)
+    # reshape wastes up to 16x of the 128-wide vector lanes (minor dim
+    # C/g as small as 8).  Instead reduce over (F,T) per CHANNEL — fully
+    # lane-aligned — then pool the tiny (B,C) result per group.  One
+    # fused read of x for both moments, one read+write to normalize.
+    x32 = x.astype(jnp.float32)
+    s1 = jnp.mean(x32, axis=(1, 2))  # (B, C)
+    s2 = jnp.mean(x32 * x32, axis=(1, 2))
+    m = s1.reshape(B, g, cg).mean(-1)
+    sq = s2.reshape(B, g, cg).mean(-1)
+    # unbiased (torch x.std()) variance via E[x^2] - E[x]^2
+    var = (sq - m * m) * (n / (n - 1.0))
+    std = jnp.sqrt(jnp.maximum(var, 0.0))  # (B, g)
+    denom = jnp.repeat(std + eps, cg, axis=-1).astype(x.dtype)  # (B, C)
+    y = x / denom[:, None, None, :] * gamma.astype(x.dtype)
+    return y, (m, std, denom)
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _gn_apply(x, gamma, g: int, eps: float):
+    """Bias-free group norm with a hand-written analytic backward
+    (opt-in via BABE_GN_BWD=custom; see the dispatch note in
+    BiasFreeGroupNorm.__call__).
+
+    Hypothesis tested: XLA's autodiff of the group statistics emits
+    reduce-fusions preferring the {2,3,1,0} (T-minor) layout at C=64 while
+    the neighbouring transposed convs run in {3,0,2,1}, causing ~16 ms/NFE
+    of relayout copies in the guided sampler's vjp program.  Outcome: the
+    analytic lane-aligned backward did NOT remove those copies (neutral on
+    the sampler, 279 ms/NFE) — the layout split is driven by the conv
+    emitters, not the GN reduces.  Kept as a measured A/B knob; grad parity
+    vs autodiff pinned in tests/test_model_parity.py::test_gn_custom_vjp."""
+    return _gn_forward(x, gamma, g, eps)[0]
+
+
+def _gn_fwd(x, gamma, g, eps):
+    y, (m, std, denom) = _gn_forward(x, gamma, g, eps)
+    return y, (x, gamma, m, std, denom)
+
+
+def _gn_bwd(g_, eps, res, gr):
+    x, gamma, m, std, denom = res
+    B, F, T, C = x.shape
+    cg = C // g_
+    n = F * T * cg
+    x32 = x.astype(jnp.float32)
+    gr32 = gr.astype(jnp.float32)
+    inv_d = (1.0 / denom.astype(jnp.float32))  # (B, C)
+    gam32 = gamma.astype(jnp.float32)
+    # S_k = sum_{e in group k} g*gamma*x  (per-channel lane reduce, then pool)
+    gx = jnp.sum(gr32 * x32, axis=(1, 2))  # (B, C)
+    S = (gx * gam32[None, :]).reshape(B, g_, cg).sum(-1)  # (B, g)
+    # d std / dx_e = (x_e - m_k) / ((n-1) std_k)   (0 where var clamped to 0)
+    std_safe = jnp.where(std > 0.0, std, 1.0)
+    coef = jnp.where(
+        std > 0.0,
+        S * (1.0 / (std_safe + eps)) ** 2 / ((n - 1.0) * std_safe),
+        0.0,
+    )  # (B, g) — S_k / D_k^2 / ((n-1) std_k)
+    coef_c = jnp.repeat(coef, cg, axis=-1)  # (B, C)
+    m_c = jnp.repeat(m, cg, axis=-1)  # (B, C)
+    dx = (
+        gr32 * (gam32[None, :] * inv_d)[:, None, None, :]
+        - coef_c[:, None, None, :] * (x32 - m_c[:, None, None, :])
+    ).astype(x.dtype)
+    # dgamma: per-channel reduce (DCE'd in the sampler vjp where params
+    # are closed over; needed for training)
+    dgamma = jnp.einsum("bc,bc->c", gx, inv_d)
+    return dx, dgamma.astype(gamma.dtype)
+
+
+_gn_apply.defvjp(_gn_fwd, _gn_bwd)
+
+
 class BiasFreeGroupNorm(nn.Module):
     """Std-only group norm: x / (std + eps) * gamma, no mean subtraction of x
     but a *centered*, unbiased std — exactly torch's x.std()
@@ -306,25 +384,16 @@ class BiasFreeGroupNorm(nn.Module):
         gamma = self.param("gamma", nn.initializers.ones, (self.num_features,))
         if x is None:
             return gamma  # param-only access for the fused Pallas path
-        B, F, T, C = x.shape
-        g = self.num_groups
-        cg = C // g
-        n = F * T * cg
-        # TPU-lane-friendly group statistics: reducing a (B,F,T,g,C/g)
-        # reshape wastes up to 16x of the 128-wide vector lanes (minor dim
-        # C/g as small as 8).  Instead reduce over (F,T) per CHANNEL — fully
-        # lane-aligned — then pool the tiny (B,C) result per group.  One
-        # fused read of x for both moments, one read+write to normalize.
-        x32 = x.astype(jnp.float32)
-        s1 = jnp.mean(x32, axis=(1, 2))  # (B, C)
-        s2 = jnp.mean(x32 * x32, axis=(1, 2))
-        m = s1.reshape(B, g, cg).mean(-1)
-        sq = s2.reshape(B, g, cg).mean(-1)
-        # unbiased (torch x.std()) variance via E[x^2] - E[x]^2
-        var = (sq - m * m) * (n / (n - 1.0))
-        std = jnp.sqrt(jnp.maximum(var, 0.0))  # (B, g)
-        denom = jnp.repeat(std + self.eps, cg, axis=-1).astype(x.dtype)  # (B, C)
-        return x / denom[:, None, None, :] * gamma.astype(x.dtype)
+        import os as _os
+
+        # BABE_GN_BWD=custom swaps in the analytic backward (_gn_apply).
+        # Measured: neutral on the guided sampler vjp (279 ms/NFE either
+        # way) and 2.5% slower on the remat-full train step (960 -> 984
+        # ms/step, tools/bench_train.py min-of-chunks) — XLA's autodiff
+        # composes better with jax.checkpoint recompute, so it stays default.
+        if _os.environ.get("BABE_GN_BWD", "") == "custom":
+            return _gn_apply(x, gamma, self.num_groups, self.eps)
+        return _gn_forward(x, gamma, self.num_groups, self.eps)[0]
 
 
 class RFF_MLP_Block(nn.Module):

@@ -147,3 +147,30 @@ def test_forward_parity_compat_frame(rng):
     denom = np.abs(y_ref).max() + 1e-12
     rel = np.abs(y_jax - y_ref).max() / denom
     assert rel < 5e-4, f"compat-frame forward mismatch: max rel err {rel}"
+
+
+def test_gn_custom_vjp(rng):
+    """The opt-in analytic GroupNorm backward (BABE_GN_BWD=custom,
+    blocks._gn_apply) matches jax autodiff of the default path for both
+    dx and dgamma, including the var<=0 clamp edge case."""
+    from babe_tpu.models.blocks import _gn_apply, _gn_forward
+
+    g, eps = 8, 1e-7
+    x = jnp.asarray(rng.standard_normal((2, 4, 6, 16)).astype(np.float32))
+    gamma = jnp.asarray(
+        (0.5 + rng.standard_normal(16) * 0.2).astype(np.float32))
+    gr = jnp.asarray(rng.standard_normal((2, 4, 6, 16)).astype(np.float32))
+
+    f_custom = lambda xx, gg: jnp.sum(_gn_apply(xx, gg, g, eps) * gr)
+    f_auto = lambda xx, gg: jnp.sum(_gn_forward(xx, gg, g, eps)[0] * gr)
+    dx_c, dg_c = jax.grad(f_custom, argnums=(0, 1))(x, gamma)
+    dx_a, dg_a = jax.grad(f_auto, argnums=(0, 1))(x, gamma)
+    np.testing.assert_allclose(np.asarray(dx_c), np.asarray(dx_a),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dg_c), np.asarray(dg_a),
+                               rtol=1e-4, atol=1e-5)
+
+    # constant input -> var == 0 -> clamped std; both paths must be finite
+    x0 = jnp.ones((1, 2, 2, 16), jnp.float32)
+    dx0 = jax.grad(lambda xx: jnp.sum(_gn_apply(xx, gamma, g, eps)))(x0)
+    assert np.all(np.isfinite(np.asarray(dx0)))

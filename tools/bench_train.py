@@ -65,16 +65,22 @@ def bench(batch: int, remat: bool = True, remat_policy: str = "full") -> float:
     float(metrics["loss"])
     compile_s = time.time() - t0
 
-    n = 6
-    t0 = time.time()
-    for i in range(n):
-        state, metrics = jstep(state, x, jax.random.fold_in(key, i))
-    float(metrics["loss"])
-    wall = (time.time() - t0) / n
+    # per-chunk timing, report the MIN: the axon tunnel adds multi-second
+    # stalls at random (measured 1039 vs 12895 ms/step on identical runs),
+    # so a single mean is meaningless.  Chunks of 3 steps amortize dispatch.
+    walls = []
+    for r in range(5):
+        t0 = time.time()
+        for i in range(3):
+            state, metrics = jstep(state, x, jax.random.fold_in(key, 3 * r + i))
+        float(metrics["loss"])
+        walls.append((time.time() - t0) / 3)
+    wall = min(walls)
     rt = batch * SEG_SECONDS / wall
-    print(f"train batch={batch} remat={remat} policy={remat_policy}: {wall * 1e3:.0f} ms/step  "
+    print(f"train batch={batch} remat={remat} policy={remat_policy}: {wall * 1e3:.0f} ms/step (min of {len(walls)} x3)  "
           f"{1.0 / wall:.2f} steps/s  {rt:.2f}x realtime audio trained/chip  "
-          f"(loss {float(metrics['loss']):.4f}, compile+first {compile_s:.0f}s)")
+          f"(loss {float(metrics['loss']):.4f}, compile+first {compile_s:.0f}s; "
+          f"all chunks ms: {[int(w * 1e3) for w in walls]})")
     return rt
 
 
