@@ -217,8 +217,11 @@ class _Conv2dParams(nn.Module):
             # lax.conv even for 1x1: keeps this op in the convolution
             # layout world ({3,0,2,1} on TPU), avoiding the two layout-
             # conversion copies a matmul-world round trip costs when the
-            # neighbours are (5,3) convs.  The backward is a matmul
-            # (conv1x1_convworld) unless BABE_PROJ_BWD=conv.
+            # neighbours are (5,3) convs.  Opt-in BABE_PROJ_BWD=dot swaps in
+            # a matmul backward (conv1x1_convworld) — measured NEUTRAL
+            # end-to-end on the guided vjp step (the slow 1x1s live in the
+            # jvp portion of that program, not the transpose), so the
+            # default stays XLA's standard conv backward.
             pin1x1 = _os.environ.get("BABE_1X1_PIN", "")
             if pin1x1 and self.kernel == (1, 1) and jax.default_backend() == "tpu":
                 mm = tuple(int(c) for c in pin1x1)

@@ -78,7 +78,11 @@ def conv1x1_convworld(x, w):
     conv layout world — a matmul here costs two relayout copies between the
     neighbouring (5,3) convs) but with a MATMUL backward: XLA's transposed
     1x1-conv emitter measured 6-20 TF/s in the guided sampler's vjp program
-    (tools/conv_budget.py, vjp mode) vs the HBM-bandwidth-floor dot."""
+    (tools/conv_budget.py, vjp mode) vs the HBM-bandwidth-floor dot.
+
+    Measured NEUTRAL end-to-end on the guided vjp step (the slow per-op rows
+    were in the jvp portion of that program, where this vjp doesn't apply),
+    so it stays opt-in via BABE_PROJ_BWD=dot (blocks.py dispatch)."""
     return conv_xla(x, w, (1, 1))
 
 

@@ -145,7 +145,14 @@ class BlindSampler(Sampler):
     def _objective_from_stats(self, stats, params):
         a, bb, c = stats
         H = design_filter(params[0], params[1], self.freqs)
-        return jnp.sqrt(jnp.sum(H * H * a - 2.0 * H * bb + c))
+        # The quadratic form equals sum(((|X|H - |Y|) w)^2) >= 0, but fp32
+        # cancellation can drive the summed-stats form slightly negative once
+        # the fit is near-converged (|X|H ~= |Y|), which would NaN the sqrt
+        # and poison the filter params.  Clamping to a tiny positive floor
+        # also keeps the sqrt gradient finite there (max picks the constant,
+        # so GD simply stops — matching the reference's tolerance exit).
+        s = jnp.sum(H * H * a - 2.0 * H * bb + c)
+        return jnp.sqrt(jnp.maximum(s, 1e-12))
 
     def fit_params(self, Xden, Y, params0):
         """Projected gradient descent with tolerance early-exit

@@ -99,10 +99,16 @@ class Tester:
         if self.n_devices <= 1:
             return arr
         if arr.shape[0] % self.n_devices:
-            print(
-                f"NOTE: batch of {arr.shape[0]} not divisible by "
-                f"{self.n_devices} devices — running unsharded on one chip"
-            )
+            # warn once per distinct batch size, not per placement — long
+            # OLA evaluations hit this on every trailing chunk batch
+            seen = getattr(self, "_unsharded_warned", set())
+            if arr.shape[0] not in seen:
+                print(
+                    f"NOTE: batch of {arr.shape[0]} not divisible by "
+                    f"{self.n_devices} devices — running unsharded on one chip"
+                )
+                seen.add(arr.shape[0])
+                self._unsharded_warned = seen
             return arr
         return jax.device_put(arr, batch_sharding(self.mesh))
 

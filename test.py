@@ -50,6 +50,13 @@ def _main(args):
     dirname = str(args.model_dir)
     os.makedirs(dirname, exist_ok=True)
 
+    # `exp.remat: true` in the exp configs is a *training*-memory knob
+    # (checkpoint each ResnetBlock in the backward); at inference it would
+    # make every guided vjp recompute all block internals per NFE.  Force it
+    # off unless explicitly overridden on the CLI (mirrors the layout_pin
+    # default in train.py:33-34).
+    if not any(ov.startswith("exp.remat=") for ov in sys.argv[1:]):
+        args.exp["remat"] = False
     model_cls = get_obj_by_name(args.network.callable)
     model = model_cls.from_config(args)
     dp_cls = get_obj_by_name(args.diff_params.get("callable",

@@ -130,6 +130,32 @@ def test_fit_params_recovers_filter(edm, rng):
     assert 2000.0 < fc_est < 4500.0, f"fc estimate {fc_est} too far from 3000"
 
 
+def test_fit_params_near_converged_no_nan(edm, rng):
+    """Regression: when the initial params already match the true filter,
+    the sufficient-statistics quadratic form H^2*a - 2*H*b + c cancels to
+    ~0 and fp32 rounding can drive it negative — the sqrt must not NaN and
+    the fit must return finite params (clamp in _objective_from_stats)."""
+    s = blind_sampler(edm, max_iter=50)
+    true_params = jnp.asarray([[3000.0], [-40.0]])
+    # stats constructed so the quadratic form cancels to an exactly NEGATIVE
+    # sum at true_params (the fp32-rounding regime, made deterministic):
+    # a=1, b=H, c=H^2-eps  =>  s = sum(H^2 - 2H^2 + H^2 - eps) = -eps*len
+    H = design_filter(true_params[0], true_params[1], s.freqs)
+    stats = (jnp.ones_like(H), H, H * H - 1e-6)
+    obj = s._objective_from_stats(stats, true_params)
+    g = jax.grad(lambda p: s._objective_from_stats(stats, p))(true_params)
+    assert np.isfinite(float(obj)), "sqrt of negative cancelled sum NaN'd"
+    assert np.all(np.isfinite(np.asarray(g))), "gradient through clamp NaN'd"
+    # and the real fit path starting AT the optimum stays finite + in place
+    x = jnp.asarray(rng.standard_normal((1, 8192)).astype(np.float32))
+    y = s.degradation_fcA(x, true_params)
+    Xden = apply_stft(x, s.blind.nfft)
+    Y = apply_stft(y, s.blind.nfft)
+    est = s.fit_params(Xden, Y, true_params)
+    assert np.all(np.isfinite(np.asarray(est)))
+    assert abs(float(est[0, 0]) - 3000.0) < 300.0
+
+
 def test_predict_blind_bwe_runs(edm):
     s = blind_sampler(edm, T=6, max_iter=10)
     y = jax.random.normal(jax.random.PRNGKey(5), (1, LEN)) * 0.5

@@ -104,6 +104,12 @@ def main():
     assert os.path.exists(ckpt), f"missing final checkpoint {ckpt}"
 
     print("[capability_e2e] blind BWE on lowpassed probes ...", flush=True)
+    # MetricsLogger appends; rotate any pre-existing metrics.jsonl so the
+    # pass/fail gate below only ever judges records from THIS run (a reused
+    # --workdir would otherwise mix in stale entries).
+    metrics_path = os.path.join(exp_dir, "outputs", "metrics.jsonl")
+    if os.path.exists(metrics_path):
+        os.replace(metrics_path, metrics_path + ".prev")
     subprocess.run(
         [py, "test.py", "tester=blind_bwe", f"model_dir={exp_dir}",
          f"tester.checkpoint={ckpt}", "dset=musicnet",

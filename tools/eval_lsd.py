@@ -173,6 +173,10 @@ def main():
                     help=".ckpt/.pt path or published name "
                          "(e.g. MAESTRO_22k_8s-850000.pt)")
     ap.add_argument("--fc", type=int, nargs="+", default=[1000, 3000])
+    ap.add_argument("--fs", type=int, default=22050,
+                    help="evaluation sample rate for --skip_generate runs "
+                         "(must match the rate the wavs were generated at; "
+                         "ignored otherwise — the tester's fs is used)")
     ap.add_argument("--skip_generate", action="store_true",
                     help="only run the metric pass on existing out_dir")
     ap.add_argument("--tiny", action="store_true",
@@ -197,7 +201,7 @@ def main():
             tester.close()
             fs = tester.fs
         else:
-            fs = 22050
+            fs = args.fs
         print(f"== fc={fc} ==")
         results[fc] = evaluate(args.audio_dir, out_dir, args.ref_dir, fc, fs)
         print("SUMMARY " + json.dumps(results[fc]["summary"]))

@@ -45,6 +45,10 @@ def main():
     args = _flagship_args(audio_len=audio_len)
     args.exp["batch"] = batch
     args.exp["remat"] = remat
+    # trace the program production training actually runs: train.py defaults
+    # layout_pin off (the cotangent pin is a guided-sampler optimization and
+    # costs ~+47% on the train step; see blocks._pin_spec)
+    args.network["layout_pin"] = "off"
     model = CQTDiffPlus.from_config(args)
     edm = EDM.from_config(args, cqt_hpf=model.apply_hpf_DC)
     optimizer = make_optimizer(args.exp)
