@@ -305,6 +305,7 @@ class Trainer:
             it=jnp.asarray(payload["it"], jnp.int32),
         )
         self._latest_ckpt = path
+        print(f"resumed from {path} (it={int(payload['it'])})")
         return True
 
     # ------------------------------------------------------------- main loop
