@@ -92,6 +92,32 @@ def test_dp_train_steps_run(trainer_setup):
     assert float(m["sigma_bin_counts"].sum()) == 8.0
 
 
+def test_train_step_deterministic(tmp_path):
+    """Same exp.seed + same data stream => bit-identical params after 2
+    steps (the whole chain key->sigma->noise->grads->Adam->EMA is seeded
+    from exp.seed); a different seed must diverge."""
+    def run(seed):
+        args = make_args(tmp_path / f"s{seed}", batch=4)
+        args.exp["seed"] = seed
+        model = CQTDiffPlus.from_config(args)
+        edm = EDM.from_config(args, cqt_hpf=model.apply_hpf_DC)
+        tr = Trainer(args, synthetic_dset(4, LEN), model, edm,
+                     mesh=make_mesh(1))
+        for _ in range(2):
+            tr.train_step()
+        return jax.tree.map(np.asarray, tr.state.params)
+
+    pa = run(123)
+    pb = run(123)
+    for a, b in zip(jax.tree.leaves(pa), jax.tree.leaves(pb)):
+        np.testing.assert_array_equal(a, b)
+    pc = run(124)
+    assert any(
+        not np.array_equal(a, c)
+        for a, c in zip(jax.tree.leaves(pa), jax.tree.leaves(pc))
+    )
+
+
 def test_overfit_loss_decreases(trainer_setup):
     """Overfit smoke (reference datasets' overfit=True mode analog)."""
     tr = trainer_setup
