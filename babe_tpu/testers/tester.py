@@ -148,12 +148,62 @@ class Tester:
             with open(path, "rb") as f:
                 payload = pickle.load(f)
             src = payload.get("ema", payload.get("params"))
+            self._check_ckpt_compat(template, src, payload, path)
             self.variables = {
                 "params": jax.tree.map(jnp.asarray, src),
                 "buffers": jax.tree.map(jnp.asarray, payload.get("buffers", {})),
             }
             self.it = int(payload.get("it", 0))
         self._jit_cache.clear()
+
+    def _check_ckpt_compat(self, template, src, payload, path):
+        """Fail at LOAD time with an actionable message when the checkpoint
+        doesn't fit the built model (otherwise the mismatch surfaces later
+        as a cryptic XLA shape error deep in the CQT / first conv).
+
+        Two layers: (a) param-tree shape check vs the model template;
+        (b) if the checkpoint recorded its training args, diff the network
+        config and audio_len and name the keys that changed."""
+        t_leaves = {jax.tree_util.keystr(k): v.shape for k, v in
+                    jax.tree_util.tree_leaves_with_path(template["params"])}
+        s_leaves = {jax.tree_util.keystr(k): np.shape(v) for k, v in
+                    jax.tree_util.tree_leaves_with_path(src)}
+        bad = [
+            f"  {k}: checkpoint {s_leaves.get(k)} vs model {t_leaves.get(k)}"
+            for k in sorted(set(t_leaves) | set(s_leaves))
+            if t_leaves.get(k) != s_leaves.get(k)
+        ]
+        hints = []
+        saved_args = payload.get("args") or {}
+        saved_net = saved_args.get("network", {})
+        cur_net = self.args.network.to_dict() if hasattr(
+            self.args.network, "to_dict") else dict(self.args.network)
+        for key in sorted(set(saved_net) | set(cur_net)):
+            if key in ("layout_pin",):  # runtime knobs, not architecture
+                continue
+            if saved_net.get(key) != cur_net.get(key) and key in saved_net:
+                hints.append(
+                    f"  network.{key}: trained with {saved_net.get(key)!r}, "
+                    f"building with {cur_net.get(key)!r}")
+        saved_len = (saved_args.get("exp") or {}).get("audio_len")
+        cur_len = int(self.args.exp.audio_len)
+        if saved_len is not None and int(saved_len) != cur_len:
+            hints.append(
+                f"  exp.audio_len: trained with {saved_len}, building with "
+                f"{cur_len} (the CQT frame is audio_len-specific; also check "
+                f"the tester mode's own audio_len override)")
+        if bad:
+            raise ValueError(
+                f"checkpoint {path} does not fit the built model — "
+                f"{len(bad)} parameter shape mismatch(es):\n"
+                + "\n".join(bad[:8])
+                + ("\n  ..." if len(bad) > 8 else "")
+                + ("\nconfig differences vs the checkpoint's training args:\n"
+                   + "\n".join(hints) if hints else "")
+            )
+        if hints:
+            print("NOTE: checkpoint fits, but its recorded training config "
+                  "differs from the current one:\n" + "\n".join(hints))
 
     def _frame_self_check(self):
         """Loud sanity check when torch weights meet the re-derived compat

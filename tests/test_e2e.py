@@ -171,6 +171,36 @@ def test_checkpoint_load_from_trainer_format(tester, tmp_path):
     assert tester.it == 7
 
 
+def test_checkpoint_load_mismatch_fails_loudly(tester, tmp_path):
+    """A checkpoint whose param shapes don't fit the built model must fail
+    at LOAD time with the mismatching paths named (not later as a cryptic
+    XLA shape error), and include recorded-config diffs when available."""
+    import pickle
+
+    import pytest as _pytest
+
+    bad_params = jax.tree.map(
+        lambda x: np.zeros(x.shape + (2,), np.float32),
+        jax.tree.map(np.asarray, tester.variables["params"]),
+    )
+    payload = {
+        "it": 1,
+        "params": bad_params,
+        "buffers": jax.tree.map(np.asarray, tester.variables["buffers"]),
+        "ema": bad_params,
+        "args": {"network": {"emb_dim": 9999},
+                 "exp": {"audio_len": 12345}},
+    }
+    p = str(tmp_path / "bad.ckpt")
+    with open(p, "wb") as f:
+        pickle.dump(payload, f)
+    with _pytest.raises(ValueError) as ei:
+        tester.load_checkpoint(p)
+    msg = str(ei.value)
+    assert "shape mismatch" in msg
+    assert "emb_dim" in msg and "audio_len" in msg
+
+
 def test_denoise_chain_complete_recording(tester, tmp_path):
     """denoise -> blind estimate -> AR-chunked BWE (denoise_and_bwe preset)."""
     from babe_tpu.models.denoiser import MultiStageDenoiser
