@@ -131,6 +131,19 @@ def make_train_step(model, edm: EDM, optimizer, exp_cfg, num_sigma_bins: int = 1
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
 
+        # non-finite guard: a NaN/inf loss or gradient would permanently
+        # poison params/opt_state/EMA in one donated step.  Branchless
+        # select keeps the previous state instead (costs one tree-select,
+        # <1 ms at 40 M params); the host loop warns and halts on repeats.
+        finite = jnp.isfinite(loss) & jnp.isfinite(optax.global_norm(grads))
+        pick = lambda new, old: jax.tree.map(
+            lambda n, o: jnp.where(finite, n, o), new, old)
+        params = pick(params, state.params)
+        opt_state = jax.tree.map(
+            lambda n, o: jnp.where(finite, n, o) if hasattr(n, "shape") else n,
+            opt_state, state.opt_state,
+        )
+
         # EMA with linear warmup over samples (reference :426-439)
         t = state.it.astype(jnp.float32) * batch_size
         s = jnp.where(
@@ -153,6 +166,7 @@ def make_train_step(model, edm: EDM, optimizer, exp_cfg, num_sigma_bins: int = 1
         metrics = {
             "loss": loss,
             "grad_norm": optax.global_norm(grads),
+            "nonfinite": ~finite,
             "sigma_bin_sums": sums,
             "sigma_bin_sqsums": sqsums,
             "sigma_bin_counts": counts,
@@ -486,9 +500,11 @@ class Trainer:
             if log_cfg.get("log_feature_stats", False)
             else 0
         )
+        max_nonfinite = int(log_cfg.get("max_consecutive_nonfinite", 20))
         it0 = int(self.state.it)
         t_start = time.time()
         last_batch = None
+        nonfinite_streak = 0
         while max_its is None or int(self.state.it) < max_its:
             batch = self.get_batch()
             last_batch = batch
@@ -497,6 +513,21 @@ class Trainer:
             self.state, metrics = self._jit_step(self.state, sharded, k)
             self.profiler.step()
             it = int(self.state.it)
+            if bool(metrics.get("nonfinite", False)):
+                # the jitted step already kept params/opt_state/EMA intact
+                nonfinite_streak += 1
+                print(
+                    f"WARNING: non-finite loss/grads at it {it} — update "
+                    f"skipped ({nonfinite_streak} consecutive)", flush=True,
+                )
+                if nonfinite_streak >= max_nonfinite:
+                    raise RuntimeError(
+                        f"{nonfinite_streak} consecutive non-finite training "
+                        f"steps at it {it}; halting (tune lr/grad-clip, or "
+                        f"raise logging.max_consecutive_nonfinite)"
+                    )
+            else:
+                nonfinite_streak = 0
             self._stat_buffer.append(
                 {k2: np.asarray(v) for k2, v in metrics.items()}
             )

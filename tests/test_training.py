@@ -118,6 +118,31 @@ def test_train_step_deterministic(tmp_path):
     )
 
 
+def test_nonfinite_batch_skips_update_and_halts(tmp_path):
+    """A NaN batch must not poison params/opt_state/EMA (branchless select
+    in the jitted step keeps the previous state), and the training loop must
+    halt after logging.max_consecutive_nonfinite consecutive bad steps."""
+    args = make_args(tmp_path, batch=4)
+    args.logging["max_consecutive_nonfinite"] = 3
+    model = CQTDiffPlus.from_config(args)
+    edm = EDM.from_config(args, cqt_hpf=model.apply_hpf_DC)
+
+    def nan_dset():
+        while True:
+            yield np.full((4, LEN), np.nan, np.float32)
+
+    tr = Trainer(args, nan_dset(), model, edm, mesh=make_mesh(1))
+    p0 = jax.tree.map(np.asarray, tr.state.params)
+    m = tr.train_step()
+    assert bool(m["nonfinite"])
+    for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(tr.state.params)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    assert np.all(np.isfinite(np.asarray(jax.tree.leaves(tr.state.ema)[0])))
+    with pytest.raises(RuntimeError, match="non-finite"):
+        tr.training_loop(max_its=10)
+    assert int(tr.state.it) < 10  # halted early, not by max_its
+
+
 def test_overfit_loss_decreases(trainer_setup):
     """Overfit smoke (reference datasets' overfit=True mode analog)."""
     tr = trainer_setup
