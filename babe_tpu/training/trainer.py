@@ -302,7 +302,13 @@ class Trainer:
         def refill(template, data):
             flat_t, treedef = jax.tree.flatten(template)
             flat_d = jax.tree.leaves(data)
-            assert len(flat_t) == len(flat_d)
+            if len(flat_t) != len(flat_d):
+                raise ValueError(
+                    f"checkpoint {path} does not fit this model/optimizer: "
+                    f"{len(flat_d)} stored leaves vs {len(flat_t)} expected "
+                    f"— was it saved with a different network config or "
+                    f"optimizer? (delete it or fix the config to resume)"
+                )
             return jax.tree.unflatten(treedef, [jnp.asarray(d) for d in flat_d])
 
         self.state = TrainState(
