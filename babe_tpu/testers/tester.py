@@ -145,8 +145,21 @@ class Tester:
             ):
                 self._frame_self_check()
         else:
-            with open(path, "rb") as f:
-                payload = pickle.load(f)
+            if path.endswith(".orbax") or os.path.isdir(path):
+                import json
+
+                import orbax.checkpoint as ocp
+
+                payload = dict(
+                    ocp.StandardCheckpointer().restore(os.path.abspath(path))
+                )
+                sidecar = os.path.join(path, "train_args.json")
+                if os.path.exists(sidecar):
+                    with open(sidecar) as f:
+                        payload["args"] = json.load(f)
+            else:
+                with open(path, "rb") as f:
+                    payload = pickle.load(f)
             src = payload.get("ema", payload.get("params"))
             self._check_ckpt_compat(template, src, payload, path)
             self.variables = {

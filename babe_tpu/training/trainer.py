@@ -247,18 +247,23 @@ class Trainer:
 
     # ----------------------------------------------------------- checkpoints
 
+    @property
+    def _ckpt_backend(self) -> str:
+        """'pickle' (default, single-file, reference-equivalent) or 'orbax'
+        (directory-per-checkpoint via orbax.checkpoint.StandardCheckpointer —
+        the TPU-idiomatic path: tensor-store backed, multi-host aware,
+        forward-compatible with sharded arrays)."""
+        return str(self.args.exp.get("ckpt_backend", "pickle"))
+
     def _ckpt_path(self, it: int) -> str:
+        ext = ".ckpt" if self._ckpt_backend == "pickle" else ".orbax"
         return os.path.join(
-            str(self.args.model_dir), f"{self.args.exp.exp_name}-{it}.ckpt"
+            str(self.args.model_dir), f"{self.args.exp.exp_name}-{it}{ext}"
         )
 
-    def save_checkpoint(self):
-        """{it, network, optimizer, ema, args} equivalent
-        (reference: training/trainer.py:273-293)."""
-        it = int(self.state.it)
-        os.makedirs(str(self.args.model_dir), exist_ok=True)
-        payload = {
-            "it": it,
+    def _state_payload(self):
+        return {
+            "it": int(self.state.it),
             "params": jax.tree.map(np.asarray, self.state.params),
             "buffers": jax.tree.map(np.asarray, self.state.buffers),
             "opt_state": jax.tree.map(
@@ -266,15 +271,38 @@ class Trainer:
                 self.state.opt_state,
             ),
             "ema": jax.tree.map(np.asarray, self.state.ema),
-            "args": self.args.to_dict(),
         }
+
+    def save_checkpoint(self):
+        """{it, network, optimizer, ema, args} equivalent
+        (reference: training/trainer.py:273-293)."""
+        it = int(self.state.it)
+        os.makedirs(str(self.args.model_dir), exist_ok=True)
         path = self._ckpt_path(it)
-        with open(path, "wb") as f:
-            pickle.dump(payload, f)
+        if self._ckpt_backend == "orbax":
+            import json
+
+            import orbax.checkpoint as ocp
+
+            path = os.path.abspath(path)
+            ckptr = ocp.StandardCheckpointer()
+            ckptr.save(path, self._state_payload(), force=True)
+            ckptr.wait_until_finished()
+            with open(os.path.join(path, "train_args.json"), "w") as f:
+                json.dump(self.args.to_dict(), f, default=str)
+        else:
+            payload = dict(self._state_payload(), args=self.args.to_dict())
+            with open(path, "wb") as f:
+                pickle.dump(payload, f)
         if bool(self.args.get_path("logging.remove_last_checkpoint", False)):
             prev = getattr(self, "_latest_ckpt", None)
             if prev and os.path.exists(prev) and prev != path:
-                os.remove(prev)
+                if os.path.isdir(prev):
+                    import shutil
+
+                    shutil.rmtree(prev)
+                else:
+                    os.remove(prev)
         self._latest_ckpt = path
         return path
 
@@ -284,20 +312,30 @@ class Trainer:
         import re
 
         if path is None:
-            pattern = os.path.join(
-                str(self.args.model_dir), f"{self.args.exp.exp_name}-*.ckpt"
+            base = os.path.join(
+                str(self.args.model_dir), f"{self.args.exp.exp_name}-*"
             )
-            cands = _glob.glob(pattern)
+            cands = _glob.glob(base + ".ckpt") + _glob.glob(base + ".orbax")
             if not cands:
                 return False
-            rx = re.compile(rf"{re.escape(str(self.args.exp.exp_name))}-(\d+)\.ckpt")
+            rx = re.compile(
+                rf"{re.escape(str(self.args.exp.exp_name))}-(\d+)\.(ckpt|orbax)"
+            )
             cands.sort(key=lambda p: int(rx.search(p).group(1)))
             path = cands[-1]
-        try:
-            with open(path, "rb") as f:
-                payload = pickle.load(f)
-        except OSError:
-            return False
+        if path.endswith(".orbax"):
+            import orbax.checkpoint as ocp
+
+            template = self._state_payload()
+            payload = ocp.StandardCheckpointer().restore(
+                os.path.abspath(path), template
+            )
+        else:
+            try:
+                with open(path, "rb") as f:
+                    payload = pickle.load(f)
+            except OSError:
+                return False
 
         def refill(template, data):
             flat_t, treedef = jax.tree.flatten(template)

@@ -1,6 +1,8 @@
 """Training runtime tests: DP-sharded step on the 8-device CPU mesh,
 overfit smoke (SURVEY.md §4: reference's only sanity mode), checkpoint resume."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -116,6 +118,49 @@ def test_train_step_deterministic(tmp_path):
         not np.array_equal(a, c)
         for a, c in zip(jax.tree.leaves(pa), jax.tree.leaves(pc))
     )
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """Opt-in orbax backend (exp.ckpt_backend=orbax): directory checkpoints
+    save/resume bit-identically, incl. optax state and the it counter, and
+    the tester loads the EMA from the same directory."""
+    from babe_tpu.config import default_config
+
+    from tests.test_e2e import tiny_overrides
+
+    ovr = tiny_overrides(str(tmp_path), "[unconditional]") + [
+        "exp.ckpt_backend=orbax", "exp.batch=4", "exp.resample_factor=1",
+        "exp.use_bf16=false", "logging.save_model=false",
+    ]
+    args = default_config(ovr)
+    model = CQTDiffPlus.from_config(args)
+    edm = EDM.from_config(args, cqt_hpf=model.apply_hpf_DC)
+    tr = Trainer(args, synthetic_dset(4, LEN), model, edm, mesh=make_mesh(1))
+    for _ in range(2):
+        tr.train_step()
+    path = tr.save_checkpoint()
+    assert path.endswith(".orbax") and os.path.isdir(path)
+
+    args2 = default_config(ovr + ["exp.resume=true"])
+    tr2 = Trainer(args2, synthetic_dset(4, LEN), model, edm, mesh=make_mesh(1))
+    assert int(tr2.state.it) == 2
+    for a, b in zip(jax.tree.leaves(tr.state.params),
+                    jax.tree.leaves(tr2.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(tr.state.opt_state),
+                    jax.tree.leaves(tr2.state.opt_state)):
+        if hasattr(a, "shape"):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    from babe_tpu.testers.tester import Tester
+
+    t = Tester(args, model, edm, test_set=None)
+    t.load_checkpoint(path)
+    assert t.it == 2
+    for a, b in zip(jax.tree.leaves(tr.state.ema),
+                    jax.tree.leaves(t.variables["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    t.close()
 
 
 def test_nonfinite_batch_skips_update_and_halts(tmp_path):
