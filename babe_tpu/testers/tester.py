@@ -38,6 +38,7 @@ from babe_tpu.parallel.mesh import batch_sharding, make_mesh
 from babe_tpu.sampling import degradations as D
 from babe_tpu.sampling.blind import BlindConfig, BlindSampler
 from babe_tpu.sampling.heun import SamplerConfig
+from babe_tpu.training.trainer import ORBAX_ARGS_SIDECAR, ORBAX_EXT
 from babe_tpu.utils import logging as ulog
 from babe_tpu.utils.torch_ckpt import fill_variables
 
@@ -145,15 +146,16 @@ class Tester:
             ):
                 self._frame_self_check()
         else:
-            if path.endswith(".orbax") or os.path.isdir(path):
+            if path.rstrip("/").endswith(ORBAX_EXT) or os.path.isdir(path):
                 import json
 
                 import orbax.checkpoint as ocp
 
+                path = path.rstrip("/")
                 payload = dict(
                     ocp.StandardCheckpointer().restore(os.path.abspath(path))
                 )
-                sidecar = os.path.join(path, "train_args.json")
+                sidecar = os.path.join(path, ORBAX_ARGS_SIDECAR)
                 if os.path.exists(sidecar):
                     with open(sidecar) as f:
                         payload["args"] = json.load(f)

@@ -31,6 +31,11 @@ import optax
 from babe_tpu.diffusion.edm import EDM
 from babe_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
 
+# orbax checkpoint layout, shared with the tester's loader
+# (babe_tpu/testers/tester.py imports these — keep in sync by reference)
+ORBAX_EXT = ".orbax"
+ORBAX_ARGS_SIDECAR = "train_args.json"
+
 
 @flax.struct.dataclass
 class TrainState:
@@ -144,12 +149,17 @@ def make_train_step(model, edm: EDM, optimizer, exp_cfg, num_sigma_bins: int = 1
             opt_state, state.opt_state,
         )
 
-        # EMA with linear warmup over samples (reference :426-439)
+        # EMA with linear warmup over samples (reference :426-439); a
+        # non-finite step keeps the EMA untouched too (blending toward the
+        # reverted params during warmup would still drag the EMA)
         t = state.it.astype(jnp.float32) * batch_size
         s = jnp.where(
             t < ema_rampup, jnp.clip(t / ema_rampup, 0.0, ema_rate), ema_rate
         )
-        ema = jax.tree.map(lambda e, p: e * s + p * (1.0 - s), state.ema, params)
+        ema = pick(
+            jax.tree.map(lambda e, p: e * s + p * (1.0 - s), state.ema, params),
+            state.ema,
+        )
 
         # sigma-binned loss stats (on-device, small vector out)
         per_item = error2.mean(axis=tuple(range(1, error2.ndim)))
@@ -253,10 +263,15 @@ class Trainer:
         (directory-per-checkpoint via orbax.checkpoint.StandardCheckpointer —
         the TPU-idiomatic path: tensor-store backed, multi-host aware,
         forward-compatible with sharded arrays)."""
-        return str(self.args.exp.get("ckpt_backend", "pickle"))
+        backend = str(self.args.exp.get("ckpt_backend", "pickle")).lower()
+        if backend not in ("pickle", "orbax"):
+            raise ValueError(
+                f"exp.ckpt_backend={backend!r}: must be 'pickle' or 'orbax'"
+            )
+        return backend
 
     def _ckpt_path(self, it: int) -> str:
-        ext = ".ckpt" if self._ckpt_backend == "pickle" else ".orbax"
+        ext = ".ckpt" if self._ckpt_backend == "pickle" else ORBAX_EXT
         return os.path.join(
             str(self.args.model_dir), f"{self.args.exp.exp_name}-{it}{ext}"
         )
@@ -288,7 +303,7 @@ class Trainer:
             ckptr = ocp.StandardCheckpointer()
             ckptr.save(path, self._state_payload(), force=True)
             ckptr.wait_until_finished()
-            with open(os.path.join(path, "train_args.json"), "w") as f:
+            with open(os.path.join(path, ORBAX_ARGS_SIDECAR), "w") as f:
                 json.dump(self.args.to_dict(), f, default=str)
         else:
             payload = dict(self._state_payload(), args=self.args.to_dict())
@@ -315,15 +330,19 @@ class Trainer:
             base = os.path.join(
                 str(self.args.model_dir), f"{self.args.exp.exp_name}-*"
             )
-            cands = _glob.glob(base + ".ckpt") + _glob.glob(base + ".orbax")
-            if not cands:
-                return False
+            cands = _glob.glob(base + ".ckpt") + _glob.glob(base + ORBAX_EXT)
             rx = re.compile(
-                rf"{re.escape(str(self.args.exp.exp_name))}-(\d+)\.(ckpt|orbax)"
+                rf"{re.escape(str(self.args.exp.exp_name))}-(\d+)\.(ckpt|orbax)$"
             )
-            cands.sort(key=lambda p: int(rx.search(p).group(1)))
-            path = cands[-1]
-        if path.endswith(".orbax"):
+            # ignore checkpoint-like names without a numeric iteration
+            # (e.g. a manual '...-best.ckpt' copy must not crash the resume)
+            matched = [(int(rx.search(p).group(1)), p)
+                       for p in cands if rx.search(p)]
+            if not matched:
+                return False
+            path = max(matched)[1]
+        path = path.rstrip("/")
+        if path.endswith(ORBAX_EXT) or os.path.isdir(path):
             import orbax.checkpoint as ocp
 
             template = self._state_payload()
@@ -558,7 +577,9 @@ class Trainer:
             self.profiler.step()
             it = int(self.state.it)
             if bool(metrics.get("nonfinite", False)):
-                # the jitted step already kept params/opt_state/EMA intact
+                # the jitted step kept params/opt_state/EMA intact; keep the
+                # NaN metrics out of the stats window too (one bad step
+                # would otherwise NaN the whole log interval's means)
                 nonfinite_streak += 1
                 print(
                     f"WARNING: non-finite loss/grads at it {it} — update "
@@ -572,9 +593,9 @@ class Trainer:
                     )
             else:
                 nonfinite_streak = 0
-            self._stat_buffer.append(
-                {k2: np.asarray(v) for k2, v in metrics.items()}
-            )
+                self._stat_buffer.append(
+                    {k2: np.asarray(v) for k2, v in metrics.items()}
+                )
             if it % log_interval == 0:
                 loss = float(metrics["loss"])
                 rate = (it - it0) / max(time.time() - t_start, 1e-9)

@@ -98,13 +98,15 @@ def test_train_step_deterministic(tmp_path):
     """Same exp.seed + same data stream => bit-identical params after 2
     steps (the whole chain key->sigma->noise->grads->Adam->EMA is seeded
     from exp.seed); a different seed must diverge."""
-    def run(seed):
-        args = make_args(tmp_path / f"s{seed}", batch=4)
+    def run(seed, step_key=None):
+        args = make_args(tmp_path / f"s{seed}_{step_key}", batch=4)
         args.exp["seed"] = seed
         model = CQTDiffPlus.from_config(args)
         edm = EDM.from_config(args, cqt_hpf=model.apply_hpf_DC)
         tr = Trainer(args, synthetic_dset(4, LEN), model, edm,
                      mesh=make_mesh(1))
+        if step_key is not None:  # identical init, different step RNG
+            tr.key = jax.random.PRNGKey(step_key)
         for _ in range(2):
             tr.train_step()
         return jax.tree.map(np.asarray, tr.state.params)
@@ -113,7 +115,10 @@ def test_train_step_deterministic(tmp_path):
     pb = run(123)
     for a, b in zip(jax.tree.leaves(pa), jax.tree.leaves(pb)):
         np.testing.assert_array_equal(a, b)
-    pc = run(124)
+    # SAME init (same exp.seed), different step-key stream: params must
+    # diverge — pins that sigma/noise sampling inside the step actually
+    # consumes the key (not just that init depends on the seed)
+    pc = run(123, step_key=999)
     assert any(
         not np.array_equal(a, c)
         for a, c in zip(jax.tree.leaves(pa), jax.tree.leaves(pc))

@@ -101,6 +101,10 @@ def main():
 
     teacher_ckpt = os.path.join(teacher_dir, f"22k_8s-{args.teacher_its}.ckpt")
     if not os.path.exists(teacher_ckpt):
+        # fresh run: a cached checkpoint from a DIFFERENT --teacher_its would
+        # otherwise be resumed past total_its and saved under the old name
+        for stale in os.listdir(teacher_dir):
+            os.remove(os.path.join(teacher_dir, stale))
         print(f"[distill_e2e] training teacher {args.teacher_its} its ...",
               flush=True)
         subprocess.run(
@@ -128,6 +132,12 @@ def main():
 
     student_ckpt = os.path.join(student_dir, f"22k_8s-{args.distill_its}.ckpt")
     if not os.path.exists(student_ckpt):
+        # the resume glob takes the LARGEST iteration: drop any cached
+        # student from a different --distill_its so distillation restarts
+        # from the teacher-initialised -0 checkpoint
+        for stale in os.listdir(student_dir):
+            if stale != os.path.basename(init_path):
+                os.remove(os.path.join(student_dir, stale))
         print(f"[distill_e2e] distilling student {args.distill_its} its ...",
               flush=True)
         subprocess.run(
