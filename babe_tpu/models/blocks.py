@@ -136,6 +136,25 @@ def _layout_pin(x, field_spec: str = "auto"):
     return _constrain(x, mm)
 
 
+def _layout_pin_carrier(x, field_spec: str = "auto"):
+    """Forward-pin the dilation loop's residual carrier x (fwd mode only).
+
+    At the big-T C<=64 levels the init/pyramid blocks are matmul-world 1x1s
+    whose dot layout ({2,3,1,0}, T-minor) anchors the residual chain; every
+    stage's (x0 + h*scale) mix of {2,3,1,0} (carrier) and {3,0,2,1} (conv
+    output) then resolves to {2,3,1,0}, and every (5,3) conv pays a ~0.4 ms
+    relayout copy on its input AND output ([8,64,1280,64]-class shapes,
+    tools/noncov_budget.py).  Pinning the carrier itself moves the whole
+    chain into the conv layout world: one copy per block instead of two per
+    dilation stage."""
+    if x.ndim != 4:
+        return x
+    mode, mm, maxc = _pin_spec(field_spec)
+    if mode != "fwd" or (maxc is not None and x.shape[-1] > maxc):
+        return x
+    return _constrain(x, mm)
+
+
 def gelu_exact(x):
     """Exact-erf gelu; in bf16 compute uses the degree-10 Chebyshev erf
     polynomial (|err| <= ~9e-6, well below bf16 resolution — see _ERF_C in
@@ -566,6 +585,8 @@ class ResnetBlock(nn.Module):
                 and self.num_dils > 0 and fused_stage_active()):
             x = self._fused_dil_chain(x, sigma_emb, N)
         else:
+            if self.kernel_size != (1, 1):
+                x = _layout_pin_carrier(x, self.layout_pin)
             for i in range(self.num_dils):
                 x0 = x
                 h = x
@@ -589,6 +610,8 @@ class ResnetBlock(nn.Module):
                 if self.kernel_size != (1, 1):
                     h = _layout_pin(h, self.layout_pin)
                 x = (x0 + h * scale[:, None, None, :]) * INV_SQRT2
+                if self.kernel_size != (1, 1):
+                    x = _layout_pin_carrier(x, self.layout_pin)
 
         if self.proj_place == "after" and N != self.dim_out:
             x = Conv2d(self.dim_out, (1, 1), name="proj_out")(x)

@@ -417,11 +417,14 @@ class CQT:
         for flat, gm, gc in zip(flats, gmaps, gconjs):
             pad = [(0, 0)] * (flat.ndim - 1) + [(0, 1)]
             flat = jnp.pad(flat, pad)  # trailing zero slot
-            for r, row in enumerate(gm):
-                v = flat[..., row]
-                if gc is not None:
-                    v = jnp.where(gc[r], jnp.conj(v), v)
-                Y = Y + v
+            # ONE gather per octave over the full (max_occ, n_rbins) map,
+            # then reduce the occupancy axis: per-row gathers measured 16x
+            # lane waste (XLA materialized each [B, n_rbins] row batch-minor
+            # as f32[n_rbins, B]{1,0} — 8 of 128 lanes; tools/noncov_budget.py)
+            v = flat[..., gm]  # [..., max_occ, n_rbins]
+            if gc is not None:
+                v = jnp.where(gc, jnp.conj(v), v)
+            Y = Y + v.sum(axis=-2)
         return Y
 
     def _fwd_spectrum_adj(self, gs):
