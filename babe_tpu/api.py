@@ -1,0 +1,259 @@
+"""High-level programmatic API: load a checkpoint, restore audio, generate.
+
+The reference exposes its capabilities only through Hydra CLI entry points
+(`/root/reference/test.py:12-74` + ~88 tester configs); using it from Python
+means assembling a config tree and driving a tester by hand.  This module is
+the library-first facade over the same machinery:
+
+    from babe_tpu.api import BABE
+
+    model = BABE.load("exp/22k_8s-850000.ckpt")        # ours (.ckpt / orbax)
+    model = BABE.load("MAESTRO_22k_8s-850000.pt")      # reference torch ckpt
+
+    audio, info = model.enhance(x, fs)                 # zero-shot blind BWE
+    audio, info = model.enhance(x, fs, filter=(1000.0, -40.0))   # informed
+    fc, A = model.estimate_filter(x, fs)               # degradation estimate
+    clips = model.generate(seconds=5.0, n=4, seed=0)   # unconditional
+
+Everything delegates to the same jitted samplers and the unified Tester the
+CLI uses (babe_tpu/testers/tester.py), so library results match CLI results
+for the same settings.  Long inputs (beyond one model segment) are restored
+with the reference's autoregressive chunk continuation
+(`/root/reference/testing/blind_bwe_tester.py:710-868` semantics via
+Tester._ar_loop); short inputs are zero-padded to one segment and cropped
+back.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Sequence
+
+import jax
+import numpy as np
+
+from babe_tpu.config import default_config
+
+
+def _peek_saved_args(path: str):
+    """Best-effort read of the training args stored inside our checkpoints
+    (pickle payloads carry 'args'; orbax directories a JSON sidecar)."""
+    try:
+        if path.rstrip("/").endswith(".orbax") or os.path.isdir(path):
+            import json
+
+            from babe_tpu.training.trainer import ORBAX_ARGS_SIDECAR
+
+            sidecar = os.path.join(path.rstrip("/"), ORBAX_ARGS_SIDECAR)
+            if os.path.exists(sidecar):
+                with open(sidecar) as f:
+                    return json.load(f)
+            return None
+        if path.endswith(".pt"):
+            return None
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        return payload.get("args")
+    except Exception:
+        return None
+
+
+def _flatten_overrides(d: dict, prefix: str) -> list[str]:
+    out = []
+    for k, v in (d or {}).items():
+        key = f"{prefix}.{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.extend(_flatten_overrides(v, key))
+        else:
+            if isinstance(v, (list, tuple)):
+                v = "[" + ",".join(str(x) for x in v) + "]"
+            out.append(f"{key}={v}")
+    return out
+
+
+class BABE:
+    """A loaded diffusion restoration model (CQTDiff+ backbone + BABE
+    posterior samplers), usable as a plain Python object."""
+
+    def __init__(self, args, checkpoint: str, denoiser_checkpoint=None):
+        from babe_tpu.setup import setup_diff_parameters, setup_network
+
+        self.args = args
+        self.fs = int(args.exp.sample_rate)
+        self._ckpt = checkpoint
+        model = setup_network(args)
+        diff = setup_diff_parameters(args, cqt_hpf=model.apply_hpf_DC)
+        denoiser = None
+        if denoiser_checkpoint is not None:
+            from babe_tpu.models.denoiser import setup_denoiser
+
+            args.tester.denoiser["checkpoint_path"] = str(denoiser_checkpoint)
+            denoiser = setup_denoiser(args)
+        self._denoiser = denoiser
+        self._testers: dict[int, object] = {}
+        self._tester = self._build_tester(model, diff, int(args.exp.audio_len))
+        self._tester.load_checkpoint(checkpoint)
+        self._testers[int(args.exp.audio_len)] = self._tester
+
+    # ------------------------------------------------------------ plumbing
+
+    def _build_tester(self, model, diff, audio_len: int):
+        from babe_tpu.testers.tester import Tester
+
+        args = self.args
+        if int(args.exp.audio_len) != audio_len:
+            from babe_tpu.config import make_config
+            from babe_tpu.setup import setup_diff_parameters, setup_network
+
+            args = make_config(self.args.to_dict())
+            args.exp["audio_len"] = audio_len
+            model = setup_network(args)
+            diff = setup_diff_parameters(args, cqt_hpf=model.apply_hpf_DC)
+        return Tester(args, model, diff, test_set=None, denoiser=self._denoiser)
+
+    def _tester_at(self, audio_len: int):
+        """A Tester whose CQT frame is built for ``audio_len`` samples, with
+        this model's weights installed (the weights are length-agnostic; the
+        frame is not)."""
+        if audio_len not in self._testers:
+            t = self._build_tester(None, None, audio_len)
+            t.set_variables(self._tester.variables["params"],
+                            self._tester.variables["buffers"],
+                            it=self._tester.it)
+            self._testers[audio_len] = t
+        return self._testers[audio_len]
+
+    @classmethod
+    def load(cls, checkpoint: str, overrides: Sequence[str] = (),
+             denoiser_checkpoint=None) -> "BABE":
+        """Build the model from a checkpoint path and load the weights.
+
+        * our ``.ckpt`` pickles / orbax directories: the network/exp config
+          saved with the weights is adopted automatically — no overrides
+          needed for a model trained with this framework;
+        * reference ``.pt`` torch checkpoints: built at the published
+          flagship config with the checkpoint-compatible CQT frame
+          (network=cqtdiff+_ckpt), like the CLI;
+        * ``overrides`` are config dotted-path assignments applied on top
+          (same syntax as the CLI, e.g. ``"tester.T=20"``).
+        """
+        base: list[str] = []
+        saved = _peek_saved_args(checkpoint)
+        if saved:
+            net = dict(saved.get("network") or {})
+            net.pop("callable", None)
+            base += _flatten_overrides(net, "network")
+            exp = saved.get("exp") or {}
+            for k in ("audio_len", "sample_rate", "resample_factor"):
+                if k in exp:
+                    base.append(f"exp.{k}={exp[k]}")
+        elif checkpoint.endswith(".pt"):
+            base.append("network=cqtdiff+_ckpt")
+        base.append("tester=blind_bwe")
+        overrides = base + list(overrides)
+        args = default_config(overrides)
+        args.exp["remat"] = False  # training-memory knob; hurts inference
+        return cls(args, checkpoint, denoiser_checkpoint=denoiser_checkpoint)
+
+    # ------------------------------------------------------------- actions
+
+    def generate(self, seconds: float | None = None, n: int = 1,
+                 seed: int | None = None) -> np.ndarray:
+        """Unconditional sampling: ``n`` clips of ``seconds`` (default: the
+        model's training segment length).  Returns [n, T] float32."""
+        audio_len = (int(self.args.exp.audio_len) if seconds is None
+                     else int(round(seconds * self.fs)))
+        t = self._tester_at(audio_len)
+        if seed is not None:
+            t.key = jax.random.PRNGKey(int(seed))
+        s = t.sampler()
+        run = t._jitted(f"api_uncond_{n}x{audio_len}",
+                        lambda k: s.predict_unconditional(k, (n, audio_len)))
+        return np.asarray(run(t.next_key()), dtype=np.float32)
+
+    def _prep(self, audio, fs):
+        from babe_tpu.data.wavio import to_mono
+        from babe_tpu.ops.resample import resample
+
+        x = np.atleast_2d(np.asarray(to_mono(np.asarray(audio)),
+                                     dtype=np.float32))
+        in_fs = int(fs or self.fs)
+        if in_fs != self.fs:
+            import jax.numpy as jnp
+
+            x = np.asarray(resample(jnp.asarray(x), in_fs, self.fs))
+        return x
+
+    def estimate_filter(self, audio, fs: int | None = None,
+                        seed: int | None = None):
+        """Blind estimate of the lowpass degradation of ``audio``: returns
+        (fc, A) breakpoint arrays (Hz, dB/octave) — the BABE sampler's
+        jointly-optimized filter parameters."""
+        _, info = self.enhance(audio, fs, seed=seed, _estimate_only=True)
+        return info["fc"], info["A"]
+
+    def enhance(self, audio, fs: int | None = None, *,
+                filter=None, denoise: bool = False,
+                seed: int | None = None, _estimate_only: bool = False):
+        """Restore ``audio`` (1-D or [1, T]; any sample rate).
+
+        filter: None for zero-shot blind BWE (the filter is estimated), or
+            ``(fc, A)`` breakpoints (scalars or arrays) for informed BWE.
+        denoise: run the STFT denoiser first (requires
+            ``denoiser_checkpoint`` at load; historical-recording chain,
+            reference denoise_and_bwe_tester.py:248-413).
+
+        Returns ``(enhanced [1, T] at the model sample rate, info dict)``
+        with the (estimated or given) filter breakpoints under
+        ``info['fc']/'A'`` and the model sample rate under ``info['fs']``.
+        """
+        import jax.numpy as jnp
+
+        t = self._tester
+        if seed is not None:
+            t.key = jax.random.PRNGKey(int(seed))
+        x = self._prep(audio, fs)
+        if denoise:
+            if self._denoiser is None:
+                raise ValueError(
+                    "denoise=True needs denoiser_checkpoint= at load()")
+            x = np.asarray(t.apply_denoiser(jnp.asarray(x)))
+
+        # normalize like the blind tester (sigma_norm) and undo at the end
+        sn = t.args.tester.blind_bwe.get("sigma_norm", "None")
+        std = float(np.std(x))
+        gain = (float(sn) / std) if sn not in (None, "None") and std > 0 else 1.0
+        x = x * gain
+
+        segL = t.audio_len
+        L = x.shape[-1]
+        if filter is not None:
+            fc, A = filter
+            est = (np.atleast_1d(np.asarray(fc, np.float32)),
+                   np.atleast_1d(np.asarray(A, np.float32)))
+        else:
+            seg = x[..., :segL]
+            if seg.shape[-1] < segL:
+                seg = np.pad(seg, ((0, 0), (0, segL - seg.shape[-1])))
+            s = t.sampler()
+            run = t._jitted("api_blind",
+                            lambda k, y: s.predict_blind_bwe(k, y))
+            pred, est_params = run(t.next_key(), jnp.asarray(seg))
+            est = (np.asarray(est_params[0]), np.asarray(est_params[1]))
+            if _estimate_only:
+                return None, {"fc": est[0], "A": est[1], "fs": self.fs}
+            if L <= segL:
+                out = np.asarray(pred)[..., :L] / gain
+                return out, {"fc": est[0], "A": est[1], "fs": self.fs}
+
+        est_j = jnp.asarray(np.stack([est[0], est[1]]))
+        if L <= segL:
+            seg = np.pad(x, ((0, 0), (0, segL - L))) if L < segL else x
+            s = t.sampler()
+            run = t._jitted("api_informed",
+                            lambda k, y: s.predict_bwe(k, y, est_j, "fc_A"))
+            out = np.asarray(run(t.next_key(), jnp.asarray(seg)))[..., :L]
+        else:
+            out = t._ar_loop(x, est_j, "fc_A")[..., :L]
+        return out / gain, {"fc": est[0], "A": est[1], "fs": self.fs}

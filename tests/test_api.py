@@ -1,0 +1,118 @@
+"""High-level API (babe_tpu/api.py): load -> generate / enhance / estimate.
+
+Covers: self-configuration from the checkpoint's saved args, unconditional
+generation (including at a non-default clip length, which rebuilds the CQT
+frame), blind and informed enhancement of short clips, the long-input AR
+chunk path, and filter estimation.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import jax
+import numpy as np
+import pytest
+
+from babe_tpu.api import BABE
+from babe_tpu.config import default_config
+from babe_tpu.models.cqtdiff import CQTDiffPlus
+from test_e2e import tiny_overrides
+
+FS = 22050
+LEN = 4096
+
+API_OVERRIDES = [
+    "tester.T=4",
+    "tester.blind_bwe.optimization.max_iter=4",
+    "tester.blind_bwe.initial_conditions.fc=[300]",
+    "tester.blind_bwe.initial_conditions.A=[-20]",
+    "tester.blind_bwe.NFFT=512",
+    "tester.complete_recording.overlap=0.02",
+]
+
+
+@pytest.fixture(scope="module")
+def ckpt(tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("api"))
+    args = default_config(tiny_overrides(tmp, "[blind_bwe]"))
+    model = CQTDiffPlus.from_config(args)
+    v = model.init(jax.random.PRNGKey(0), batch=1)
+    path = os.path.join(tmp, "tiny.ckpt")
+    payload = {
+        "it": 7,
+        "params": jax.tree.map(np.asarray, v["params"]),
+        "buffers": jax.tree.map(np.asarray, v.get("buffers", {})),
+        "ema": jax.tree.map(np.asarray, v["params"]),
+        "args": args.to_dict(),
+    }
+    with open(path, "wb") as f:
+        pickle.dump(payload, f)
+    return path
+
+
+@pytest.fixture(scope="module")
+def model(ckpt):
+    # no network overrides: the tiny architecture must be adopted from the
+    # checkpoint's saved args
+    return BABE.load(ckpt, overrides=API_OVERRIDES)
+
+
+def test_load_adopts_saved_config(model):
+    assert int(model.args.exp.audio_len) == LEN
+    assert list(model.args.network.Ns) == [8, 8, 16]
+    assert model._tester.it == 7
+
+
+def test_generate_default_and_custom_length(model):
+    out = model.generate(n=2, seed=0)
+    assert out.shape == (2, LEN)
+    assert np.isfinite(out).all() and float(np.abs(out).max()) > 0
+    # custom length: rebuilds the CQT frame, reuses the weights
+    out2 = model.generate(seconds=2 * LEN / FS, n=1, seed=0)
+    assert out2.shape == (1, 2 * LEN)
+    assert np.isfinite(out2).all()
+
+
+def test_enhance_blind_short(model):
+    rng = np.random.default_rng(0)
+    t = np.arange(3000) / FS
+    x = (0.05 * np.sin(2 * np.pi * 440 * t)).astype(np.float32) \
+        + 0.01 * rng.standard_normal(3000).astype(np.float32)
+    out, info = model.enhance(x, FS, seed=1)
+    assert out.shape == (1, 3000)
+    assert np.isfinite(out).all()
+    assert info["fs"] == FS
+    assert info["fc"].shape == (1,) and info["A"].shape == (1,)
+    assert 20.0 < float(info["fc"][0]) < FS / 2
+
+
+def test_enhance_informed_and_estimate(model):
+    rng = np.random.default_rng(1)
+    x = 0.05 * rng.standard_normal(LEN).astype(np.float32)
+    out, info = model.enhance(x, FS, filter=(800.0, -30.0), seed=2)
+    assert out.shape == (1, LEN)
+    assert np.isfinite(out).all()
+    assert float(info["fc"][0]) == 800.0 and float(info["A"][0]) == -30.0
+
+    fc, A = model.estimate_filter(x, FS, seed=3)
+    assert fc.shape == (1,) and A.shape == (1,)
+
+
+def test_enhance_long_ar_path(model):
+    rng = np.random.default_rng(2)
+    L = 10000  # > audio_len: exercises the AR chunk loop
+    x = 0.05 * rng.standard_normal(L).astype(np.float32)
+    out, info = model.enhance(x, FS, filter=(600.0, -25.0), seed=4)
+    assert out.shape == (1, L)
+    assert np.isfinite(out).all()
+
+
+def test_enhance_resamples_input(model):
+    rng = np.random.default_rng(3)
+    x = 0.05 * rng.standard_normal(2000).astype(np.float32)
+    out, info = model.enhance(x, 44100, filter=(500.0, -20.0), seed=5)
+    # 44.1k input is resampled to the model's 22.05k
+    assert out.shape[-1] == 1000
+    assert info["fs"] == FS
