@@ -9,3 +9,13 @@ NamedSharding data parallelism, host-side filter design baked into jit constants
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy: `from babe_tpu import BABE` without importing jax/flax at
+    # package-import time (keeps `import babe_tpu` cheap for config-only use)
+    if name == "BABE":
+        from babe_tpu.api import BABE
+
+        return BABE
+    raise AttributeError(f"module 'babe_tpu' has no attribute {name!r}")

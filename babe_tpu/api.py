@@ -168,8 +168,15 @@ class BABE:
         if seed is not None:
             t.key = jax.random.PRNGKey(int(seed))
         s = t.sampler()
+        jit_kw = {}
+        if t.n_devices > 1 and n % t.n_devices == 0:
+            # clips are independent: shard the batch across the eval mesh
+            from babe_tpu.parallel.mesh import batch_sharding
+
+            jit_kw["out_shardings"] = batch_sharding(t.mesh)
         run = t._jitted(f"api_uncond_{n}x{audio_len}",
-                        lambda k: s.predict_unconditional(k, (n, audio_len)))
+                        lambda k: s.predict_unconditional(k, (n, audio_len)),
+                        **jit_kw)
         return np.asarray(run(t.next_key()), dtype=np.float32)
 
     def _prep(self, audio, fs):

@@ -69,9 +69,11 @@ def test_generate_default_and_custom_length(model):
     out = model.generate(n=2, seed=0)
     assert out.shape == (2, LEN)
     assert np.isfinite(out).all() and float(np.abs(out).max()) > 0
-    # custom length: rebuilds the CQT frame, reuses the weights
-    out2 = model.generate(seconds=2 * LEN / FS, n=1, seed=0)
-    assert out2.shape == (1, 2 * LEN)
+    # custom length: rebuilds the CQT frame, reuses the weights; n=8 is
+    # divisible by the test mesh's 8 virtual devices, so this also takes
+    # the sharded-generation branch (out_shardings over the eval mesh)
+    out2 = model.generate(seconds=2 * LEN / FS, n=8, seed=0)
+    assert out2.shape == (8, 2 * LEN)
     assert np.isfinite(out2).all()
 
 
@@ -107,6 +109,39 @@ def test_enhance_long_ar_path(model):
     out, info = model.enhance(x, FS, filter=(600.0, -25.0), seed=4)
     assert out.shape == (1, L)
     assert np.isfinite(out).all()
+
+
+def test_enhance_with_denoiser_chain(ckpt, tmp_path):
+    """denoise=True routes through the STFT denoiser before BWE
+    (reference denoise_and_bwe_tester.py:248-413 chain, via the API)."""
+    from babe_tpu.models.denoiser import MultiStageDenoiser
+
+    den = MultiStageDenoiser(depth=2, num_tfc=2, num_stages=2,
+                             use_fencoding=True, use_SAM=True, f_dim=65,
+                             fs=FS, stft_win_size=128, stft_hop_size=32,
+                             segment_seconds=0.2)
+    dv = den.init(jax.random.PRNGKey(1))
+    dpath = str(tmp_path / "den.ckpt")
+    with open(dpath, "wb") as f:
+        pickle.dump({"params": jax.tree.map(np.asarray, dv["params"])}, f)
+    m = BABE.load(ckpt, overrides=API_OVERRIDES + [
+        "tester.denoiser.depth=2", "tester.denoiser.num_tfc=2",
+        "tester.denoiser.num_stages=2", "tester.denoiser.f_dim=65",
+        "tester.denoiser.stft_win_size=128", "tester.denoiser.stft_hop_size=32",
+        "tester.denoiser.segment_size=0.2",
+        f"tester.denoiser.sample_rate_denoiser={FS}",
+    ], denoiser_checkpoint=dpath)
+    rng = np.random.default_rng(4)
+    x = 0.05 * rng.standard_normal(3000).astype(np.float32)
+    out, info = m.enhance(x, FS, filter=(700.0, -25.0), denoise=True, seed=6)
+    assert out.shape == (1, 3000)
+    assert np.isfinite(out).all()
+
+
+def test_denoise_without_denoiser_raises(model):
+    x = np.zeros(1000, np.float32)
+    with pytest.raises(ValueError):
+        model.enhance(x, FS, denoise=True)
 
 
 def test_enhance_resamples_input(model):
