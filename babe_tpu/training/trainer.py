@@ -171,7 +171,10 @@ def make_train_step(model, edm: EDM, optimizer, exp_cfg, num_sigma_bins: int = 1
 
         new_state = TrainState(
             params=params, buffers=state.buffers, opt_state=opt_state,
-            ema=ema, it=state.it + 1,
+            # a skipped (non-finite) step must not advance the iteration
+            # clock either: LR ramp and EMA warmup are keyed on `it`, so
+            # "state untouched" includes the schedules (VERDICT r3 #5)
+            ema=ema, it=state.it + finite.astype(jnp.int32),
         )
         metrics = {
             "loss": loss,

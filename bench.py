@@ -85,11 +85,16 @@ def main():
 
     audio_seconds = batch * seconds
     rt_factor = audio_seconds / wall / n_dev  # metric is per chip
+    # spread quantifies tunnel/run-to-run noise so round-over-round deltas
+    # are interpretable (VERDICT r3 #6): worst-vs-best iteration, fractional
+    spread = (max(walls) - min(walls)) / min(walls)
     result = {
         "metric": "audio_sec_generated_per_sec_per_chip_35step",
         "value": round(rt_factor, 3),
         "unit": "x_realtime",
         "vs_baseline": round(rt_factor / 10.0, 3),
+        "spread": round(spread, 4),
+        "iters": n_iters,
     }
     print(json.dumps(result))
     print(

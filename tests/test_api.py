@@ -65,6 +65,54 @@ def test_load_adopts_saved_config(model):
     assert model._tester.it == 7
 
 
+def test_load_adopts_saved_diff_params(ckpt, tmp_path):
+    """A checkpoint trained with a non-flagship sigma_data (e.g. the
+    chorales 0.15) must drive the tester's EDM preconditioning, not the
+    tester yaml's hardcoded 0.063 (VERDICT r3 #4)."""
+    with open(ckpt, "rb") as f:
+        payload = pickle.load(f)
+    payload["args"]["diff_params"]["sigma_data"] = 0.15
+    payload["args"]["diff_params"]["sigma_min"] = 1e-4
+    path = str(tmp_path / "chorales_like.ckpt")
+    with open(path, "wb") as f:
+        pickle.dump(payload, f)
+    m = BABE.load(path, overrides=API_OVERRIDES)
+    # training-group EDM adopted wholesale
+    assert float(m.args.diff_params.sigma_data) == 0.15
+    assert float(m.args.diff_params.sigma_min) == 1e-4
+    # tester-side EDM preconditioning uses the trained sigma_data
+    assert float(m._tester.edm.p.sigma_data) == 0.15
+    # explicit user overrides still win over adopted values
+    m2 = BABE.load(path, overrides=API_OVERRIDES
+                   + ["tester.diff_params.sigma_data=0.05"])
+    assert float(m2._tester.edm.p.sigma_data) == 0.05
+
+
+def test_load_corrupt_checkpoint_raises(tmp_path):
+    """A corrupt .ckpt must raise an actionable error, not silently fall
+    back to the flagship default config (VERDICT r3 weak #6)."""
+    bad = str(tmp_path / "corrupt.ckpt")
+    with open(bad, "wb") as f:
+        f.write(b"not a pickle at all")
+    with pytest.raises(ValueError, match="not a readable"):
+        BABE.load(bad)
+    with pytest.raises(FileNotFoundError):
+        BABE.load(str(tmp_path / "missing.ckpt"))
+
+
+def test_tester_cache_is_bounded(model):
+    """The per-audio-len tester cache is LRU-bounded; the native-length
+    tester is pinned (VERDICT r3 #8)."""
+    native = int(model.args.exp.audio_len)
+    for L in (native + 256, native + 512, native + 768, native + 1024):
+        model._tester_at(L)
+    assert len(model._testers) <= model._testers_maxsize
+    assert native in model._testers  # pinned
+    # most-recently-used survives, oldest non-native evicted
+    assert native + 1024 in model._testers
+    assert native + 256 not in model._testers
+
+
 def test_generate_default_and_custom_length(model):
     out = model.generate(n=2, seed=0)
     assert out.shape == (2, LEN)

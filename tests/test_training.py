@@ -183,8 +183,12 @@ def test_nonfinite_batch_skips_update_and_halts(tmp_path):
 
     tr = Trainer(args, nan_dset(), model, edm, mesh=make_mesh(1))
     p0 = jax.tree.map(np.asarray, tr.state.params)
+    it0 = int(tr.state.it)
     m = tr.train_step()
     assert bool(m["nonfinite"])
+    # the iteration clock freezes too: LR ramp / EMA warmup are keyed on it,
+    # so a skipped step must not advance the schedules (VERDICT r3 #5)
+    assert int(tr.state.it) == it0
     for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(tr.state.params)):
         np.testing.assert_array_equal(a, np.asarray(b))
     assert np.all(np.isfinite(np.asarray(jax.tree.leaves(tr.state.ema)[0])))
