@@ -699,12 +699,6 @@ class Tester:
         use_ar = bool(ft.get("use_AR", False))
         OLA = int(ft.get("OLA", 2048))
         s = self.sampler()
-        run_informed = self._jitted(
-            f"formal_{ftype}", lambda k, y: s.predict_bwe(k, y, filt, ftype)
-        )
-        run_blind = self._jitted(
-            "formal_blind", lambda k, y: s.predict_blind_bwe(k, y)
-        )
         hann = np.hanning(2 * OLA + 1)[:-1].astype(np.float32)  # periodic-ish
 
         for filename in filenames:
@@ -746,16 +740,41 @@ class Tester:
                             if tail_len < segL else tail[:segL])
                 segs = np.stack(segs)  # [n_chunks, segL]
                 if blind:
-                    # per-chunk filter estimates (matching the reference's
-                    # chunk-wise blind evaluation) — batch 1 by necessity
-                    preds = []
-                    for row in range(segs.shape[0]):
-                        pred_b, est = run_blind(
-                            self.next_key(), jnp.asarray(segs[row : row + 1])
+                    # per-chunk blind estimation is embarrassingly parallel
+                    # with PER-ITEM filters: vmap the whole blind sampler over
+                    # the chunk axis (each lane gets its own key, filter fit,
+                    # and guidance normalization — semantically the bs=1 loop
+                    # the reference runs, blind_bwe_tester.py:359 "not the
+                    # most efficient way"), then shard the chunk batch across
+                    # the eval mesh like the informed path (VERDICT r3 #3).
+                    cb = max(int(ft.get("chunk_batch", 4)), 1)
+                    cb = -(-cb // self.n_devices) * self.n_devices
+                    if segs.shape[0] % cb:
+                        reps = cb - segs.shape[0] % cb
+                        segs_in = np.concatenate(
+                            [segs, segs[-1:].repeat(reps, 0)], 0)
+                    else:
+                        segs_in = segs
+                    run_blind_b = self._jitted(
+                        f"formal_blind_b{cb}",
+                        lambda ks, ys: jax.vmap(
+                            lambda k, y: s.predict_blind_bwe(k, y[None])
+                        )(ks, ys),
+                    )
+                    preds, ests = [], []
+                    for b0 in range(0, segs_in.shape[0], cb):
+                        nb = segs_in[b0 : b0 + cb].shape[0]
+                        keys = jnp.stack([self.next_key() for _ in range(nb)])
+                        pred_b, est_b = run_blind_b(
+                            self._shard(keys),
+                            self._shard(segs_in[b0 : b0 + cb]),
                         )
-                        filter_data.append(((row,), np.asarray(est)))
-                        preds.append(np.asarray(pred_b))
-                    preds = np.concatenate(preds, 0)
+                        preds.append(np.asarray(pred_b)[:, 0])
+                        ests.append(np.asarray(est_b))
+                    preds = np.concatenate(preds, 0)[: segs.shape[0]]
+                    ests = np.concatenate(ests, 0)[: segs.shape[0]]
+                    filter_data = [((row,), ests[row])
+                                   for row in range(ests.shape[0])]
                 else:
                     # informed chunks share the filter: batch them AND shard
                     # the chunk batch across the eval mesh (per-chip OLA

@@ -311,6 +311,58 @@ def test_formal_test_bwe_ola(tester, tmp_path):
     assert all(os.path.getmtime(out_dir / f) == mtimes[f] for f in outs)
 
 
+def test_formal_test_bwe_blind_batched(tester, tmp_path):
+    """Blind formal evaluation now batches chunks through a vmapped
+    predict_blind_bwe with PER-ITEM filter estimates (VERDICT r3 #3):
+    the vmapped batch must numerically match the bs=1 loop, and the
+    directory driver must write outputs + per-chunk filter pickles."""
+    import pickle
+
+    import jax.numpy as jnp
+
+    # 1. vmapped-vs-loop parity on the sampler itself
+    s = tester.sampler()
+    rng = np.random.default_rng(21)
+    segs = (rng.standard_normal((2, LEN)) * 0.05).astype(np.float32)
+    keys = [jax.random.PRNGKey(100 + i) for i in range(2)]
+    loop = [jax.jit(s.predict_blind_bwe)(keys[i], jnp.asarray(segs[i : i + 1]))
+            for i in range(2)]
+    vm = jax.jit(
+        jax.vmap(lambda k, y: s.predict_blind_bwe(k, y[None]))
+    )(jnp.stack(keys), jnp.asarray(segs))
+    for i in range(2):
+        # bf16 compute: vmap batching may reassociate, so modest tolerances
+        np.testing.assert_allclose(
+            np.asarray(vm[0][i, 0]), np.asarray(loop[i][0][0]),
+            rtol=5e-3, atol=5e-4)
+        np.testing.assert_allclose(
+            np.asarray(vm[1][i]), np.asarray(loop[i][1]), rtol=5e-3, atol=5e-2)
+    # per-item filters genuinely differ between chunks (not one shared fit)
+    assert not np.allclose(np.asarray(vm[1][0]), np.asarray(vm[1][1]))
+
+    # 2. the directory driver end-to-end (sharded batch path on the 8-dev mesh)
+    in_dir, out_dir = tmp_path / "in_blind", tmp_path / "out_blind"
+    os.makedirs(in_dir)
+    write_wav(str(in_dir / "bl0.wav"),
+              rng.standard_normal(LEN * 3).astype(np.float32) * 0.05, FS)
+    ft = tester.args.tester.formal_test
+    ft["path"] = str(in_dir)
+    ft["folder"] = str(out_dir)
+    ft["use_AR"] = False
+    ft["OLA"] = 256
+    ft["chunk_batch"] = 2
+    tester.formal_test_bwe(typefilter="fc_A", blind=True)
+    from babe_tpu.data.wavio import read_wav
+
+    audio, fs = read_wav(str(out_dir / "bl0.wav"))
+    assert audio.shape[-1] == LEN * 3 and np.isfinite(audio).all()
+    with open(str(out_dir / "bl0.filter_data.pkl"), "rb") as f:
+        fd = pickle.load(f)
+    assert len(fd) >= 2  # one filter estimate per chunk
+    for (row,), est in fd:
+        assert est.shape == (2, 1) and np.isfinite(est).all()
+
+
 def test_mushra_mode(tester, tmp_path):
     """Full MUSHRA stimulus set: original/degraded/reconstructed + rid + the
     compute_sweep npy dumps (reference: blind_bwe_tester_mushra.py:1001-1212)."""
