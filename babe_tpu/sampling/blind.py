@@ -30,7 +30,7 @@ from babe_tpu.ops.filters import (
     apply_filter_and_norm_STFTmag_fweighted,
     design_filter,
 )
-from babe_tpu.ops.stft import apply_stft, rfftfreq
+from babe_tpu.ops.stft import apply_filter_istft, apply_stft, rfftfreq
 from babe_tpu.sampling.heun import Sampler, SamplerConfig
 from babe_tpu.sampling import degradations as D
 
@@ -222,15 +222,37 @@ class BlindSampler(Sampler):
                 y_obs = y + sig * jax.random.normal(kn, y.shape)
             x_den, pullback = jax.vjp(lambda x_: self._denoise(x_, t_cur), x_hat)
             x_den_d = jax.lax.stop_gradient(x_den)
-            den_for_fit = x_den_d
             if b.sigma_den_estimate > 0:
+                # the fit sees a noise-regularized copy of the denoised
+                # estimate — its STFT differs from the guidance STFT, so the
+                # two passes cannot be shared on this (non-default) path
                 key, kn = jax.random.split(key)
                 den_for_fit = x_den_d + b.sigma_den_estimate * jax.random.normal(
                     kn, x_den_d.shape
                 )
-            Xden = apply_stft(den_for_fit, b.nfft)
-            params = self.fit_params(Xden, Y, params)
-            g_xden = jax.grad(lambda xd: cfg.norm_fn(y_obs, deg(xd, params)))(x_den)
+                Xden = apply_stft(den_for_fit, b.nfft)
+                params = self.fit_params(Xden, Y, params)
+                g_xden = jax.grad(
+                    lambda xd: cfg.norm_fn(y_obs, deg(xd, params)))(x_den)
+            else:
+                # ONE analysis STFT of x_den serves both the filter fit and
+                # the reconstruction-guidance gradient (they consumed two
+                # identical transforms before — VERDICT r3 #2): keep the
+                # STFT's pullback, fit on the stopped-gradient spectrum,
+                # then chain the guidance cotangent back through it.
+                X, stft_pull = jax.vjp(
+                    lambda x_: apply_stft(x_, b.nfft), x_den)
+                params = self.fit_params(
+                    jax.lax.stop_gradient(X), Y, params)
+                H = design_filter(params[0], params[1], self.freqs)
+                L = x_den.shape[-1]
+
+                def obj_from_X(Xv):
+                    xf = apply_filter_istft(Xv, H, b.nfft)[..., :L]
+                    return cfg.norm_fn(y_obs, xf)
+
+                val, obj_pull = jax.vjp(obj_from_X, X)
+                g_xden = stft_pull(obj_pull(jnp.ones_like(val))[0])[0]
             rec = pullback(g_xden)[0]
             normguide = jnp.linalg.norm(rec) / cfg.audio_len**0.5
             s = cfg.xi / (normguide + 1e-6)

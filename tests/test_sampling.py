@@ -180,6 +180,34 @@ def test_predict_blind_bwe_rid(edm):
     assert np.all(np.isfinite(np.asarray(scores)))
 
 
+def test_shared_stft_guidance_gradient_matches_direct(edm, rng):
+    """The single-STFT guidance chain (stft vjp -> objective vjp, VERDICT r3
+    #2) must produce the same gradient as directly differentiating
+    norm_fn(y, apply_filter(x, H)) — the form the stage() used before."""
+    from babe_tpu.ops.stft import apply_filter_istft, apply_filter
+
+    nfft = 1024
+    L = 4096
+    x = jnp.asarray(rng.standard_normal((2, L)).astype(np.float32) * 0.3)
+    y = jnp.asarray(rng.standard_normal((2, L)).astype(np.float32) * 0.3)
+    freqs = jnp.asarray(rfftfreq(nfft, FS))
+    H = design_filter(jnp.asarray([2000.0]), jnp.asarray([-30.0]), freqs)
+    norm_fn = lambda a, b: jnp.sqrt(jnp.sum((a - b) ** 2))
+
+    g_direct = jax.grad(
+        lambda xd: norm_fn(y, apply_filter(xd, H, nfft)))(x)
+
+    X, stft_pull = jax.vjp(lambda x_: apply_stft(x_, nfft), x)
+
+    def obj_from_X(Xv):
+        return norm_fn(y, apply_filter_istft(Xv, H, nfft)[..., :L])
+
+    val, obj_pull = jax.vjp(obj_from_X, X)
+    g_shared = stft_pull(obj_pull(jnp.ones_like(val))[0])[0]
+    np.testing.assert_allclose(np.asarray(g_shared), np.asarray(g_direct),
+                               rtol=1e-5, atol=1e-7)
+
+
 def test_predict_bwe_ar(edm):
     s = blind_sampler(edm, T=5, max_iter=5)
     mask = jnp.zeros((1, LEN)).at[:, : LEN // 4].set(1.0)
