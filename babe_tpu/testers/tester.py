@@ -807,9 +807,18 @@ class Tester:
                         final[0, : segL - discard_end] = win
                     else:
                         final[0, ix : ix + segL - discard_end] += win
-                win = preds[-1, :tail_len].copy()
+                # tail_len can exceed segL by up to discard_end (the loop
+                # stops at the last FULL segment + discard margin); the
+                # prediction only covers segL samples, so clamp the write
+                # and fall back to the degraded input for the residual
+                # <= discard_end samples at the very end of the file (the
+                # reference crashes on this case, blind_bwe_tester.py:563-564)
+                m = min(tail_len, segL)
+                win = preds[-1, :m].copy()
                 win[:OLA] *= hann[:OLA]
-                final[0, tail_ix:] += win
+                final[0, tail_ix : tail_ix + m] += win
+                if tail_len > segL:
+                    final[0, tail_ix + segL :] = degraded[0, tail_ix + segL :]
 
             ulog.write_audio_file(final, self.fs, n, path_out)
             if blind:
