@@ -231,8 +231,16 @@ class _Conv2dParams(nn.Module):
             return k
         import os as _os
 
+        from babe_tpu.ops.conv_kernels import _int8_active
+
         impl = _os.environ.get("BABE_PROJ_IMPL", "") or self.impl
-        if impl == "conv":
+        if _int8_active(cin, self.features, is_1x1=self.kernel == (1, 1)):
+            # BABE_PRECISION=int8: every eligible conv (incl. the conv-world
+            # 1x1s) goes through the quantized MXU path — the layout-world
+            # reasoning below is a bf16 trade-off that doesn't apply to the
+            # int8 tensors
+            y = conv2d_same(x, k.astype(x.dtype), self.dilation)
+        elif impl == "conv":
             # lax.conv even for 1x1: keeps this op in the convolution
             # layout world ({3,0,2,1} on TPU), avoiding the two layout-
             # conversion copies a matmul-world round trip costs when the

@@ -48,6 +48,140 @@ def set_backend(name: str) -> None:
     _BACKEND = name
 
 
+# ------------------------------------------------------- reduced precision
+#
+# v5e's MXU runs int8 at ~2x bf16 throughput, and the bf16 conv budget is
+# trace-proven MXU-fill-bound (PROFILE.md round 4) — reduced precision is
+# the one lever left toward the 10x north-star (VERDICT r3 next-#1).
+# Measured on the real chip (tools/probe_int8.py): the (8,384,40,256)
+# level conv drops 1.12 -> 0.42 ms *including* the requant epilogue.
+#
+# Scheme (weight-only information loss is NOT enough — a bf16 x int8 conv
+# measured exactly at bf16 speed, same probe):
+#   * weights: per-output-channel symmetric int8 (scale = amax/127 over
+#     kh,kw,cin), quantized from the fp32 params at trace time,
+#   * activations: per-item dynamic symmetric int8 (scale = amax/127 over
+#     F,T,C per batch item — no calibration pass, no saved state, exact
+#     ranges at every sigma of the reverse process),
+#   * conv accumulates int8 x int8 -> int32 (preferred_element_type), the
+#     epilogue rescales by s_x[b] * s_w[co] and casts back to x.dtype, so
+#     everything around the conv is numerically unchanged.
+#   * backward: straight-through — the custom vjp differentiates the
+#     ORIGINAL-precision conv (standard estimator; keeps the guided
+#     sampler's reconstruction gradients and training exact-precision).
+#
+# Opt-in via BABE_PRECISION=int8 (bench.py enables it for the headline
+# metric; quality gate: tools/quality_int8.py — trajectory divergence and
+# LSD delta vs the bf16 path, plus tools/capability_e2e.py).
+# BABE_INT8_MINC bounds which levels quantize (default 96: the C=64 levels
+# are MXU-fill-bound in ANY precision and gain nothing from int8).
+
+
+def _precision() -> str:
+    return os.environ.get("BABE_PRECISION", "bf16")
+
+
+def _int8_minc() -> int:
+    return int(os.environ.get("BABE_INT8_MINC", "96"))
+
+
+def _quant_act_per_item(x):
+    """(B, ..., C) -> int8 with per-item scale [B, 1...]."""
+    x32 = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x32), axis=tuple(range(1, x.ndim)), keepdims=True)
+    s = jnp.maximum(amax, 1e-20) / 127.0
+    q = jnp.clip(jnp.round(x32 / s), -127.0, 127.0).astype(jnp.int8)
+    return q, s
+
+
+def _quant_weight_per_cout(w):
+    """(kh, kw, ci, co) -> int8 with per-output-channel scale [co]."""
+    w32 = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w32), axis=tuple(range(w.ndim - 1)))
+    s = jnp.maximum(amax, 1e-20) / 127.0
+    q = jnp.clip(jnp.round(w32 / s), -127.0, 127.0).astype(jnp.int8)
+    return q, s
+
+
+def _conv_int8_impl(x, w, dilation):
+    qx, sx = _quant_act_per_item(x)
+    qw, sw = _quant_weight_per_cout(w)
+    # barrier: without it the TPU conv emitter folds the quantize chain into
+    # the conv input and re-evaluates it once per kernel tap (15x)
+    qx = jax.lax.optimization_barrier(qx)
+    acc = jax.lax.conv_general_dilated(
+        qx, qw, (1, 1), "SAME", rhs_dilation=tuple(dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    scale = sx * sw  # (B,1,1,1) x (co,) -> (B,1,1,co)
+    return (acc.astype(jnp.float32) * scale).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def conv_int8(x, w, dilation=(1, 1)):
+    """'SAME' NHWC conv computed in int8 on the MXU (see the scheme note
+    above); gradients are straight-through w.r.t. both quantizations."""
+    return _conv_int8_impl(x, w, dilation)
+
+
+def _conv_int8_fwd(x, w, dilation):
+    return _conv_int8_impl(x, w, dilation), (x, w)
+
+
+def _conv_int8_bwd(dilation, res, g):
+    x, w = res
+    _, pull = jax.vjp(lambda x_, w_: conv_xla(x_, w_, dilation), x, w)
+    return pull(g)
+
+
+conv_int8.defvjp(_conv_int8_fwd, _conv_int8_bwd)
+
+
+def _dot1x1_int8_impl(x, w):
+    qx, sx = _quant_act_per_item(x)
+    qw, sw = _quant_weight_per_cout(w[0, 0])
+    qx = jax.lax.optimization_barrier(qx)
+    acc = jnp.einsum("bftc,cn->bftn", qx, qw,
+                     preferred_element_type=jnp.int32)
+    return (acc.astype(jnp.float32) * (sx * sw)).astype(x.dtype)
+
+
+@jax.custom_vjp
+def dot1x1_int8(x, w):
+    """1x1 'SAME' conv as an int8 matmul (w: [1,1,Cin,Cout]); same
+    quantization scheme and straight-through backward as conv_int8."""
+    return _dot1x1_int8_impl(x, w)
+
+
+def _dot1x1_int8_fwd(x, w):
+    return _dot1x1_int8_impl(x, w), (x, w)
+
+
+def _dot1x1_int8_bwd(res, g):
+    x, w = res
+    _, pull = jax.vjp(lambda x_, w_: conv1x1(x_, w_), x, w)
+    return pull(g)
+
+
+dot1x1_int8.defvjp(_dot1x1_int8_fwd, _dot1x1_int8_bwd)
+
+
+def _int8_ops() -> str:
+    # 'conv' (default): only the (5,3) dilated convs — they are MXU-fill /
+    # compute-bound and gain 1.7-2.7x from int8 (tools/probe_int8.py).
+    # The 1x1s run AT the HBM bandwidth floor in bf16; quantizing them adds
+    # two extra passes (amax + quantize) for an op whose time is traffic,
+    # not MACs.  'all' quantizes the 1x1s too (measured slower end-to-end).
+    return os.environ.get("BABE_INT8_OPS", "conv")
+
+
+def _int8_active(cin: int, cout: int, is_1x1: bool = False) -> bool:
+    if _precision() != "int8" or min(cin, cout) < _int8_minc():
+        return False
+    return (not is_1x1) or _int8_ops() == "all"
+
+
 def _on_tpu() -> bool:
     try:
         return jax.default_backend() not in ("cpu", "gpu")
@@ -759,9 +893,13 @@ def conv2d_same(x, w, dilation=(1, 1)):
     for a 'SAME' NHWC conv with odd kernel."""
     kf, kt = w.shape[0], w.shape[1]
     if (kf, kt) == (1, 1):
+        if _int8_active(w.shape[2], w.shape[3], is_1x1=True):
+            return dot1x1_int8(x, w)
         if os.environ.get("BABE_1X1", "dot") == "conv":
             return conv_xla(x, w, (1, 1))
         return conv1x1(x, w)
+    if _int8_active(w.shape[2], w.shape[3]):
+        return conv_int8(x, w, tuple(int(d) for d in dilation))
     if (kf, kt) == (5, 3) and int(dilation[1]) == 1:
         return conv5x3_dilated(x, w, int(dilation[0]))
     return conv_xla(x, w, dilation)

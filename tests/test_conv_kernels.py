@@ -183,3 +183,77 @@ def test_gelu_exact_accuracy():
     # gelu' to ~1e-5 — well below bf16 cotangent resolution
     g_out = jax.vmap(jax.grad(ck._gelu_exact))(x)
     assert float(jnp.max(jnp.abs(g_out - g_ref))) < 5e-5
+
+
+# ------------------------------------------------------ int8 quantized path
+
+
+def test_conv_int8_close_and_exact_backward(rng):
+    """BABE_PRECISION=int8 conv: forward within per-channel-int8 error of
+    the exact conv; backward is the EXACT full-precision conv transpose
+    (straight-through — guided-sampling gradients keep full precision)."""
+    x = jnp.asarray(rng.standard_normal((2, 16, 24, 96)).astype(np.float32))
+    w = jnp.asarray(0.05 * rng.standard_normal((5, 3, 96, 96)).astype(np.float32))
+    y8 = jax.jit(lambda x, w: ck.conv_int8(x, w, (2, 1)))(x, w)
+    yb = ck.conv_xla(x, w, (2, 1))
+    rel = float(jnp.linalg.norm(y8 - yb) / jnp.linalg.norm(yb))
+    assert rel < 0.03, rel
+    g = jnp.asarray(rng.standard_normal(y8.shape).astype(np.float32))
+    _, p8 = jax.vjp(lambda x, w: ck.conv_int8(x, w, (2, 1)), x, w)
+    _, pb = jax.vjp(lambda x, w: ck.conv_xla(x, w, (2, 1)), x, w)
+    for a, b in zip(p8(g), pb(g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_dot1x1_int8_close(rng):
+    x = jnp.asarray(rng.standard_normal((2, 16, 24, 96)).astype(np.float32))
+    w = jnp.asarray(0.05 * rng.standard_normal((1, 1, 96, 128)).astype(np.float32))
+    z8 = jax.jit(ck.dot1x1_int8)(x, w)
+    zb = ck.conv1x1(x, w)
+    rel = float(jnp.linalg.norm(z8 - zb) / jnp.linalg.norm(zb))
+    assert rel < 0.03, rel
+
+
+def test_int8_dispatch_gates(rng, monkeypatch):
+    """conv2d_same routes through the quantized path only under
+    BABE_PRECISION=int8 and only at levels >= BABE_INT8_MINC channels."""
+    x = jnp.asarray(rng.standard_normal((1, 8, 16, 96)).astype(np.float32))
+    w = jnp.asarray(0.05 * rng.standard_normal((5, 3, 96, 96)).astype(np.float32))
+    monkeypatch.setattr(ck, "_BACKEND", "xla")
+    exact = np.asarray(ck.conv2d_same(x, w, (1, 1)))
+    monkeypatch.setenv("BABE_PRECISION", "int8")
+    q = np.asarray(ck.conv2d_same(x, w, (1, 1)))
+    assert not np.array_equal(exact, q)  # quantized path taken
+    np.testing.assert_allclose(q, exact, rtol=0.1, atol=0.15)
+    monkeypatch.setenv("BABE_INT8_MINC", "128")
+    gated = np.asarray(ck.conv2d_same(x, w, (1, 1)))
+    np.testing.assert_array_equal(gated, exact)  # below min-C: exact path
+
+
+def test_int8_model_forward_runs(monkeypatch):
+    """The tiny CQTDiff+ forward runs under BABE_PRECISION=int8 (with a
+    min-C low enough to engage on the tiny channel counts) and stays close
+    to the full-precision forward."""
+    from babe_tpu.config import default_config
+    from babe_tpu.models.cqtdiff import CQTDiffPlus
+
+    monkeypatch.setattr(ck, "_BACKEND", "xla")
+    args = default_config([
+        "exp.audio_len=4096", "network.Ns=[16,16,32]",
+        "network.num_dils=[1,1,2]", "network.emb_dim=32",
+        "network.attention_layers=[0,0,0,0]", "network.cqt.num_octs=3",
+        "network.cqt.bins_per_oct=8", "exp.use_bf16=false",
+    ])
+    model = CQTDiffPlus.from_config(args)
+    v = model.init(jax.random.PRNGKey(0), batch=1)
+    x = jnp.asarray(np.random.default_rng(0)
+                    .standard_normal((1, 4096)).astype(np.float32) * 0.1)
+    sig = jnp.full((1, 1), -1.0, jnp.float32)
+    ref = np.asarray(jax.jit(model.apply)(v, x, sig))
+    monkeypatch.setenv("BABE_PRECISION", "int8")
+    monkeypatch.setenv("BABE_INT8_MINC", "16")
+    q = np.asarray(jax.jit(model.apply)(v, x, sig))
+    assert np.isfinite(q).all()
+    rel = np.linalg.norm(q - ref) / max(np.linalg.norm(ref), 1e-9)
+    assert rel < 0.15, rel
