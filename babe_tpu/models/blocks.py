@@ -609,8 +609,14 @@ class ResnetBlock(nn.Module):
                     # keep the gelu/affine chain OUT of the conv fusion: the
                     # TPU conv emitter re-evaluates fused producers once per
                     # kernel tap (15x for (5,3)), which measured 2-5x slower
-                    # than a clean conv (tools/conv_budget.py)
-                    h = jax.lax.optimization_barrier(h)
+                    # than a clean conv (tools/conv_budget.py).  When the
+                    # conv runs int8 the quantize step inside conv_int8 has
+                    # its own barrier, so the bf16 h need not materialize:
+                    # letting the gelu chain fuse into the amax/quantize
+                    # passes saves one full write+read of h per stage
+                    from babe_tpu.ops.conv_kernels import _int8_active
+                    if not _int8_active(N, N):
+                        h = jax.lax.optimization_barrier(h)
                     h = _layout_pin(h, self.layout_pin)
                 h = Conv2d(
                     N, self.kernel_size, dilation=(2**i, 1), name=f"H_{i}"

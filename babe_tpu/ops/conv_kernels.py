@@ -73,8 +73,12 @@ def set_backend(name: str) -> None:
 # Opt-in via BABE_PRECISION=int8 (bench.py enables it for the headline
 # metric; quality gate: tools/quality_int8.py — trajectory divergence and
 # LSD delta vs the bf16 path, plus tools/capability_e2e.py).
-# BABE_INT8_MINC bounds which levels quantize (default 96: the C=64 levels
-# are MXU-fill-bound in ANY precision and gain nothing from int8).
+# BABE_INT8_MINC bounds which levels quantize.  Default 128, the measured
+# end-to-end optimum (PROFILE.md round 6): the C>=128 convs run at 317-378
+# TF(op)/s int8 (81-96% of v5e's 394 TOPS spec); at C=96 the conv gain is
+# exactly cancelled by the quantize passes over that level's large F*T
+# (trace: conv -2.8, loop fusions +2.7 ms/NFE), and the C<=64 levels are
+# MXU-fill-bound in ANY precision.
 
 
 def _precision() -> str:
@@ -82,7 +86,7 @@ def _precision() -> str:
 
 
 def _int8_minc() -> int:
-    return int(os.environ.get("BABE_INT8_MINC", "96"))
+    return int(os.environ.get("BABE_INT8_MINC", "128"))
 
 
 def _quant_act_per_item(x):
@@ -107,8 +111,10 @@ def _conv_int8_impl(x, w, dilation):
     qx, sx = _quant_act_per_item(x)
     qw, sw = _quant_weight_per_cout(w)
     # barrier: without it the TPU conv emitter folds the quantize chain into
-    # the conv input and re-evaluates it once per kernel tap (15x)
-    qx = jax.lax.optimization_barrier(qx)
+    # the conv input and re-evaluates it once per kernel tap (15x).
+    # BABE_INT8_INNER_BARRIER=0 is the A/B switch for re-measuring that.
+    if os.environ.get("BABE_INT8_INNER_BARRIER", "1") != "0":
+        qx = jax.lax.optimization_barrier(qx)
     acc = jax.lax.conv_general_dilated(
         qx, qw, (1, 1), "SAME", rhs_dilation=tuple(dilation),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),

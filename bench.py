@@ -7,6 +7,14 @@ vs_baseline = realtime_factor / 10.
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Runs the int8 conv path by default (BENCH_PRECISION=bf16 reverts): eligible
+(5,3) convs at C>=128 compute on the MXU in int8 with dynamic per-item
+activation scales (babe_tpu/ops/conv_kernels.py).  Quality evidence gating
+this default (VERDICT r3 next-#1): tools/quality_int8.py --mode lsd on a
+TRAINED checkpoint (blind-BWE LSD delta int8-vs-bf16 under the 0.05 dB bar),
+--mode traj (same-seed flagship trajectory divergence, reported in
+PROFILE.md), and tools/capability_e2e.py passing under int8.
 """
 
 from __future__ import annotations
@@ -18,6 +26,13 @@ import time
 
 
 def main():
+    # measured-optimal settings (PROFILE.md round 6); env overrides win
+    precision = os.environ.get("BENCH_PRECISION", "int8")
+    if precision == "int8":
+        os.environ.setdefault("BABE_PRECISION", "int8")
+        os.environ.setdefault("BABE_INT8_MINC", "128")
+        os.environ.setdefault("BABE_LAYOUT_PIN", "fwd<=64")
+
     import jax
 
     # persistent compilation cache: first-compile of the 35-step sampling scan
@@ -95,6 +110,7 @@ def main():
         "vs_baseline": round(rt_factor / 10.0, 3),
         "spread": round(spread, 4),
         "iters": n_iters,
+        "precision": os.environ.get("BABE_PRECISION", "bf16"),
     }
     print(json.dumps(result))
     print(

@@ -223,6 +223,7 @@ def test_int8_dispatch_gates(rng, monkeypatch):
     monkeypatch.setattr(ck, "_BACKEND", "xla")
     exact = np.asarray(ck.conv2d_same(x, w, (1, 1)))
     monkeypatch.setenv("BABE_PRECISION", "int8")
+    monkeypatch.setenv("BABE_INT8_MINC", "96")
     q = np.asarray(ck.conv2d_same(x, w, (1, 1)))
     assert not np.array_equal(exact, q)  # quantized path taken
     np.testing.assert_allclose(q, exact, rtol=0.1, atol=0.15)

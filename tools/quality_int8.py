@@ -10,8 +10,13 @@ Two modes:
 * ``--mode traj`` (default): same-seed 35-step unconditional sampling at the
   flagship config, bf16 vs int8, identical keys — reports the waveform
   relative divergence and the LSD between the two outputs.  Runs on the
-  real TPU (or CPU with --tiny).  Random weights: this measures how the
-  sampler PROPAGATES quantization error, not absolute quality.
+  real TPU (or CPU with --tiny).  CAUTION: at plain random init the
+  AdaLN-zero gates (INIT_ZERO in blocks.py) suppress every block's
+  contribution, so bf16 and int8 are bitwise-identical and the measurement
+  is vacuous — pass ``--ckpt`` to load trained weights (pickle .ckpt, uses
+  the EMA params) or ``--degate S`` to open all zero-init gate kernels with
+  N(0, S^2) values so quantization error actually propagates at flagship
+  scale.
 
 * ``--mode lsd --workdir /tmp/babe_cap``: reuses tools/capability_e2e.py's
   TRAINED tiny checkpoint and probe set; runs the blind-BWE tester twice
@@ -33,7 +38,28 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_traj(tiny: bool) -> dict:
+def _degate(variables, sigma: float):
+    """Replace every zero-init gate kernel with N(0, sigma^2) values so each
+    block contributes to the output (INIT_ZERO gates make random-init models
+    vacuously quantization-insensitive)."""
+    import jax
+    import jax.numpy as jnp
+
+    flat = jax.tree_util.tree_flatten_with_path(variables)[0]
+    treedef = jax.tree_util.tree_structure(variables)
+    key = jax.random.PRNGKey(123)
+    out = []
+    for path, leaf in flat:
+        names = [getattr(p, "key", "") for p in path]
+        if any(str(n).startswith("gate") for n in names) and leaf.ndim == 2:
+            key, sub = jax.random.split(key)
+            leaf = sigma * jax.random.normal(sub, leaf.shape, jnp.float32)
+        out.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def run_traj(tiny: bool, ckpt: str | None = None,
+             degate: float = 0.0) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -60,6 +86,14 @@ def run_traj(tiny: bool) -> dict:
     args.exp["audio_len"] = audio_len
     model = CQTDiffPlus.from_config(args)
     variables = model.init(jax.random.PRNGKey(0), batch=1)
+    if ckpt:
+        import pickle
+
+        payload = pickle.load(open(ckpt, "rb"))
+        params = payload.get("ema") or payload["params"]
+        variables = dict(variables, params=jax.tree.map(jnp.asarray, params))
+    elif degate > 0.0:
+        variables = _degate(variables, degate)
     edm = EDM(EDMParams(sigma_data=0.063, sigma_min=1e-4, sigma_max=1.0,
                         ro=8, ro_train=13, Schurn=20))
     from babe_tpu.sampling.heun import Sampler, SamplerConfig
@@ -87,7 +121,9 @@ def run_traj(tiny: bool) -> dict:
     lsd_between = float(np.mean(np.asarray(lsd_fn(jnp.asarray(a),
                                                   jnp.asarray(b)))))
     return {"mode": "traj", "tiny": tiny, "T": T, "batch": batch,
-            "waveform_rel_divergence": round(rel, 4),
+            "weights": ("ckpt" if ckpt else
+                        f"degate={degate}" if degate else "random-init"),
+            "waveform_rel_divergence": round(rel, 6),
             "lsd_between_paths_db": round(lsd_between, 4)}
 
 
@@ -157,12 +193,16 @@ def main():
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--workdir", default="/tmp/babe_cap")
     ap.add_argument("--T", type=int, default=15)
+    ap.add_argument("--ckpt", default=None,
+                    help="trained pickle .ckpt for traj mode (EMA params)")
+    ap.add_argument("--degate", type=float, default=0.0,
+                    help="open INIT_ZERO gates with N(0, s^2) for traj mode")
     args = ap.parse_args()
     if args.mode == "traj":
         if args.tiny:
             os.environ.setdefault("PALLAS_AXON_POOL_IPS", "")
             os.environ.setdefault("JAX_PLATFORMS", "cpu")
-        out = run_traj(args.tiny)
+        out = run_traj(args.tiny, ckpt=args.ckpt, degate=args.degate)
         print(json.dumps(out))
         sys.exit(0)
     out = run_lsd(args.workdir, args.T)
