@@ -137,6 +137,20 @@ def _conv_int8_fwd(x, w, dilation):
 
 def _conv_int8_bwd(dilation, res, g):
     x, w = res
+    if os.environ.get("BABE_INT8_BWD", "0") == "1":
+        # dx on the int8 MXU as well: for a stride-1 'SAME' conv with odd
+        # kernel and symmetric dilation padding, the input cotangent is the
+        # 'SAME' correlation of g with the spatially-flipped, io-swapped
+        # kernel at the same rhs_dilation — so the same quantized-conv
+        # implementation applies (per-item dynamic scales on g).  Intended
+        # for the guided sampler's input-only vjp (dw below stays exact and
+        # is DCE'd there since params are closure constants); training keeps
+        # the default exact backward.
+        wT = jnp.flip(w, axis=(0, 1)).swapaxes(2, 3)
+        dx = _conv_int8_impl(g, wT, dilation)
+        _, pull_w = jax.vjp(lambda w_: conv_xla(x, w_, dilation), w)
+        (dw,) = pull_w(g)
+        return (dx, dw)
     _, pull = jax.vjp(lambda x_, w_: conv_xla(x_, w_, dilation), x, w)
     return pull(g)
 

@@ -206,6 +206,24 @@ def test_conv_int8_close_and_exact_backward(rng):
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_conv_int8_bwd_quantized_dx(rng, monkeypatch):
+    """BABE_INT8_BWD=1: the input cotangent comes from the int8 MXU path
+    (within quantization error of the exact conv transpose — the flip/swap
+    'SAME' correlation identity must hold exactly for the dilated case);
+    the weight cotangent stays exact."""
+    monkeypatch.setenv("BABE_INT8_BWD", "1")
+    x = jnp.asarray(rng.standard_normal((2, 16, 24, 96)).astype(np.float32))
+    w = jnp.asarray(0.05 * rng.standard_normal((5, 3, 96, 96)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((2, 16, 24, 96)).astype(np.float32))
+    _, p8 = jax.vjp(lambda x, w: ck.conv_int8(x, w, (2, 1)), x, w)
+    _, pb = jax.vjp(lambda x, w: ck.conv_xla(x, w, (2, 1)), x, w)
+    (dx8, dw8), (dxb, dwb) = p8(g), pb(g)
+    rel = float(jnp.linalg.norm(dx8 - dxb) / jnp.linalg.norm(dxb))
+    assert 1e-6 < rel < 0.03, rel  # quantized (not exact), but close
+    np.testing.assert_allclose(np.asarray(dw8), np.asarray(dwb),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_dot1x1_int8_close(rng):
     x = jnp.asarray(rng.standard_normal((2, 16, 24, 96)).astype(np.float32))
     w = jnp.asarray(0.05 * rng.standard_normal((1, 1, 96, 128)).astype(np.float32))
