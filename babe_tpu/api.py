@@ -167,7 +167,7 @@ class BABE:
 
     @classmethod
     def load(cls, checkpoint: str, overrides: Sequence[str] = (),
-             denoiser_checkpoint=None) -> "BABE":
+             denoiser_checkpoint=None, precision: str = "bf16") -> "BABE":
         """Build the model from a checkpoint path and load the weights.
 
         * our ``.ckpt`` pickles / orbax directories: the network/exp config
@@ -178,7 +178,20 @@ class BABE:
           (network=cqtdiff+_ckpt), like the CLI;
         * ``overrides`` are config dotted-path assignments applied on top
           (same syntax as the CLI, e.g. ``"tester.T=20"``).
+        * ``precision="int8"`` runs eligible convs (and the guidance
+          gradient's input-cotangent conv) on the int8 MXU — ~18% faster
+          sampling and ~13% faster enhance() per chip, LSD-gated within
+          0.05 dB of bf16 (PROFILE.md round 6; tools/quality_int8.py).
+          Process-global: the conv dispatch reads it at trace time
+          (BABE_PRECISION / BABE_INT8_BWD env vars), so all models in this
+          process share the setting.
         """
+        if precision not in ("bf16", "int8"):
+            raise ValueError(f"precision must be 'bf16' or 'int8', "
+                             f"got {precision!r}")
+        if precision == "int8":
+            os.environ["BABE_PRECISION"] = "int8"
+            os.environ.setdefault("BABE_INT8_BWD", "1")
         base: list[str] = []
         saved = _peek_saved_args(checkpoint)
         if saved:

@@ -199,3 +199,24 @@ def test_enhance_resamples_input(model):
     # 44.1k input is resampled to the model's 22.05k
     assert out.shape[-1] == 1000
     assert info["fs"] == FS
+
+
+def test_load_precision_int8(ckpt, monkeypatch):
+    """precision='int8' engages the quantized conv path (env-based, read by
+    the dispatch at trace time) and enhance() still runs end to end; an
+    unknown precision raises before any env mutation."""
+    monkeypatch.delenv("BABE_PRECISION", raising=False)
+    monkeypatch.delenv("BABE_INT8_BWD", raising=False)
+    with pytest.raises(ValueError):
+        BABE.load(ckpt, overrides=API_OVERRIDES, precision="fp4")
+    assert "BABE_PRECISION" not in os.environ
+    # engage at the tiny channel counts too
+    monkeypatch.setenv("BABE_INT8_MINC", "16")
+    m = BABE.load(ckpt, overrides=API_OVERRIDES, precision="int8")
+    assert os.environ["BABE_PRECISION"] == "int8"
+    assert os.environ["BABE_INT8_BWD"] == "1"
+    rng = np.random.default_rng(0)
+    x = 0.05 * rng.standard_normal(LEN).astype(np.float32)
+    out, info = m.enhance(x, FS, seed=0)
+    assert out.shape[-1] == LEN and np.isfinite(out).all()
+    assert np.isfinite(info["fc"]).all()

@@ -80,3 +80,23 @@ def test_sharded_matches_single_device(setup):
     np.testing.assert_allclose(
         np.asarray(out_single), np.asarray(out_shard), rtol=2e-2, atol=2e-4
     )
+
+
+def test_int8_sharded_bwe(setup, monkeypatch):
+    """BABE_PRECISION=int8 under the 8-device mesh: the per-ITEM dynamic
+    activation scales reduce over non-batch axes only, so the quantized
+    convs partition cleanly along the batch sharding (no cross-device
+    collectives forced by the amax) and the guided sampler stays finite."""
+    mesh, sampler = setup
+    monkeypatch.setenv("BABE_PRECISION", "int8")
+    monkeypatch.setenv("BABE_INT8_MINC", "8")
+    monkeypatch.setenv("BABE_INT8_BWD", "1")
+    rng = np.random.default_rng(5)
+    y = jnp.asarray(rng.standard_normal((N_DEV, LEN)), jnp.float32) * 0.1
+    y = jax.device_put(y, batch_sharding(mesh))
+    filt = jnp.asarray([[1000.0], [-20.0]], jnp.float32)
+    run = jax.jit(lambda k, yy: sampler.predict_bwe(k, yy, filt, "fc_A"))
+    out = run(jax.random.PRNGKey(2), y)
+    assert out.shape == (N_DEV, LEN)
+    assert len(out.sharding.device_set) == N_DEV
+    assert bool(jnp.all(jnp.isfinite(out)))
