@@ -30,6 +30,7 @@ REF_DIR=""
 OUT_DIR="experiments/northstar"
 TINY=0
 FCS="1000 3000"
+PRECISION="bf16"
 
 while [[ $# -gt 0 ]]; do
   case "$1" in
@@ -39,9 +40,21 @@ while [[ $# -gt 0 ]]; do
     --out_dir) OUT_DIR="$2"; shift 2 ;;
     --fc) FCS="$2"; shift 2 ;;
     --tiny) TINY=1; shift ;;
+    --precision) PRECISION="$2"; shift 2 ;;
     *) echo "unknown arg: $1" >&2; exit 2 ;;
   esac
 done
+
+# --precision int8: run the whole evaluation on the quantized conv path
+# (incl. the quantized guidance cotangent), so the published-checkpoint
+# LSD bar also validates the fast path the day weights exist
+# (PROFILE.md round 6; same 0.1 dB verdict applies).
+if [[ "$PRECISION" == "int8" ]]; then
+  export BABE_PRECISION=int8 BABE_INT8_BWD=1
+  OUT_DIR="${OUT_DIR}_int8"
+elif [[ "$PRECISION" != "bf16" ]]; then
+  echo "--precision must be bf16 or int8" >&2; exit 2
+fi
 
 if [[ "$TINY" == 1 ]]; then
   # self-contained offline proof: synthesize a tiny eval set, run the tiny
