@@ -167,7 +167,7 @@ class BABE:
 
     @classmethod
     def load(cls, checkpoint: str, overrides: Sequence[str] = (),
-             denoiser_checkpoint=None, precision: str = "bf16") -> "BABE":
+             denoiser_checkpoint=None, precision: str | None = None) -> "BABE":
         """Build the model from a checkpoint path and load the weights.
 
         * our ``.ckpt`` pickles / orbax directories: the network/exp config
@@ -182,16 +182,24 @@ class BABE:
           gradient's input-cotangent conv) on the int8 MXU — ~18% faster
           sampling and ~13% faster enhance() per chip, LSD-gated within
           0.05 dB of bf16 (PROFILE.md round 6; tools/quality_int8.py).
-          Process-global: the conv dispatch reads it at trace time
-          (BABE_PRECISION / BABE_INT8_BWD env vars), so all models in this
-          process share the setting.
+          Process-global, last ``load()`` wins: the conv dispatch reads it
+          at trace time (BABE_PRECISION / BABE_INT8_BWD env vars), so
+          models already traced keep the precision they were traced under,
+          and the default ``precision=None`` leaves the env untouched (so
+          a shell-set BABE_PRECISION keeps working through the API).
+          ``precision="bf16"`` explicitly resets a prior int8 selection.
         """
-        if precision not in ("bf16", "int8"):
-            raise ValueError(f"precision must be 'bf16' or 'int8', "
+        if precision not in (None, "bf16", "int8"):
+            raise ValueError(f"precision must be 'bf16', 'int8' or None, "
                              f"got {precision!r}")
         if precision == "int8":
             os.environ["BABE_PRECISION"] = "int8"
             os.environ.setdefault("BABE_INT8_BWD", "1")
+        elif precision == "bf16":
+            # explicit reset: without this, int8 -> bf16 in one process
+            # would silently keep quantized convs for the second model
+            os.environ["BABE_PRECISION"] = "bf16"
+            os.environ.pop("BABE_INT8_BWD", None)
         base: list[str] = []
         saved = _peek_saved_args(checkpoint)
         if saved:

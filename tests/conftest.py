@@ -29,3 +29,22 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True)
+def _babe_env_guard():
+    """Restore all BABE_* env vars after every test.
+
+    The precision/layout dispatch reads ``BABE_*`` at trace time by design,
+    and ``BABE.load(precision=...)`` sets them; ``monkeypatch.delenv(...,
+    raising=False)`` on an *absent* var records no undo, so a var set by the
+    code under test would otherwise leak into every later test (this bit us:
+    test_load_precision_int8 leaked BABE_INT8_BWD=1 and quantized the dx
+    cotangent inside test_conv_int8_close_and_exact_backward's exact-backward
+    assertion)."""
+    saved = {k: v for k, v in os.environ.items() if k.startswith("BABE_")}
+    yield
+    for k in [k for k in os.environ if k.startswith("BABE_")]:
+        if k not in saved:
+            del os.environ[k]
+    os.environ.update(saved)

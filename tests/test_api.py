@@ -215,6 +215,14 @@ def test_load_precision_int8(ckpt, monkeypatch):
     m = BABE.load(ckpt, overrides=API_OVERRIDES, precision="int8")
     assert os.environ["BABE_PRECISION"] == "int8"
     assert os.environ["BABE_INT8_BWD"] == "1"
+    # default None leaves the env untouched; explicit bf16 resets it
+    BABE.load(ckpt, overrides=API_OVERRIDES)
+    assert os.environ["BABE_PRECISION"] == "int8"
+    BABE.load(ckpt, overrides=API_OVERRIDES, precision="bf16")
+    assert os.environ["BABE_PRECISION"] == "bf16"
+    assert "BABE_INT8_BWD" not in os.environ
+    os.environ["BABE_PRECISION"] = "int8"
+    os.environ["BABE_INT8_BWD"] = "1"
     rng = np.random.default_rng(0)
     x = 0.05 * rng.standard_normal(LEN).astype(np.float32)
     out, info = m.enhance(x, FS, seed=0)
