@@ -222,7 +222,7 @@ class _Conv2dParams(nn.Module):
     impl: str = "auto"  # 'conv' pins 1x1s to the conv layout world
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, scale_hint=None):
         kf, kt = self.kernel
         cin = self.in_features if x is None else x.shape[-1]
         k = self.param("kernel", kaiming_uniform(self.init_weight),
@@ -239,7 +239,8 @@ class _Conv2dParams(nn.Module):
             # 1x1s) goes through the quantized MXU path — the layout-world
             # reasoning below is a bf16 trade-off that doesn't apply to the
             # int8 tensors
-            y = conv2d_same(x, k.astype(x.dtype), self.dilation)
+            y = conv2d_same(x, k.astype(x.dtype), self.dilation,
+                            scale_hint=scale_hint)
         elif impl == "conv":
             # lax.conv even for 1x1: keeps this op in the convolution
             # layout world ({3,0,2,1} on TPU), avoiding the two layout-
@@ -285,15 +286,16 @@ class Conv2d(nn.Module):
     impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, scale_hint=None):
         """x=None returns the HWIO kernel parameter (requires in_features) —
         used by the fused ResnetBlock path to feed the Pallas stage kernel
-        without changing the parameter tree."""
+        without changing the parameter tree.  scale_hint: optional (B,)
+        fp32 amax upper bound for the int8 path (conv_int8_hinted)."""
         return _Conv2dParams(
             self.features, self.kernel, self.dilation, self.use_bias,
             self.init_weight, in_features=self.in_features, impl=self.impl,
             name="conv",
-        )(x)
+        )(x, scale_hint)
 
 
 class Conv1d(nn.Module):
@@ -595,16 +597,45 @@ class ResnetBlock(nn.Module):
         else:
             if self.kernel_size != (1, 1):
                 x = _layout_pin_carrier(x, self.layout_pin)
+            from babe_tpu.ops.conv_kernels import (_int8_active,
+                                                   _int8_scale_mode)
+            # BABE_INT8_SCALE=bound: derive the int8 activation scale
+            # analytically from the GroupNorm statistics INSTEAD of a
+            # dynamic amax over the conv input.  |gelu(v)| <= |v| and the
+            # conv input is gelu(GN(x) * (gamma+1)), so per item
+            #   max|h| <= max_c amax_c(x)/denom_c * |gamma_n_c*(gamma_c+1)|
+            # where amax_c is the per-channel amax of the carrier — a reduce
+            # that fuses into the SAME read as the GN moments.  The scale is
+            # then known before h exists, the quantize becomes pure
+            # elementwise, and the whole producer chain fuses into the int8
+            # write: no bf16 materialization of h, no separate amax pass
+            # (the two passes that made C=96 a wash under dynamic amax,
+            # PROFILE.md round 6).
+            use_hint = (self.use_norm and self.kernel_size != (1, 1)
+                        and _int8_active(N, N)
+                        and _int8_scale_mode() == "bound")
             for i in range(self.num_dils):
                 x0 = x
                 h = x
-                if self.use_norm:
+                hint = None
+                if use_hint:
+                    gamma_n = BiasFreeGroupNorm(N, 8, name=f"norm_{i}")(None)
+                    h, (_m, std_, _denom) = _gn_forward(h, gamma_n, 8, 1e-7)
+                    amax_c = jnp.max(jnp.abs(x.astype(jnp.float32)),
+                                     axis=(1, 2))  # (B, C)
+                    denom32 = jnp.repeat(std_ + 1e-7, N // 8, axis=-1)
+                elif self.use_norm:
                     h = BiasFreeGroupNorm(N, 8, name=f"norm_{i}")(h)
                 gamma = Linear(N, name=f"affine_{i}")(sigma_emb)
                 scale = Linear(N, init_weight=INIT_ZERO,
                                name=f"gate_{i}")(sigma_emb)
                 h = h * (gamma[:, None, None, :] + 1.0)
                 h = gelu_exact(h)
+                if use_hint:
+                    a_abs = jnp.abs(
+                        gamma_n[None, :]
+                        * (gamma.astype(jnp.float32) + 1.0)) / denom32
+                    hint = jnp.max(amax_c * a_abs, axis=-1)  # (B,)
                 if self.kernel_size != (1, 1):
                     # keep the gelu/affine chain OUT of the conv fusion: the
                     # TPU conv emitter re-evaluates fused producers once per
@@ -614,13 +645,12 @@ class ResnetBlock(nn.Module):
                     # its own barrier, so the bf16 h need not materialize:
                     # letting the gelu chain fuse into the amax/quantize
                     # passes saves one full write+read of h per stage
-                    from babe_tpu.ops.conv_kernels import _int8_active
                     if not _int8_active(N, N):
                         h = jax.lax.optimization_barrier(h)
                     h = _layout_pin(h, self.layout_pin)
                 h = Conv2d(
                     N, self.kernel_size, dilation=(2**i, 1), name=f"H_{i}"
-                )(h)
+                )(h, scale_hint=hint)
                 if self.kernel_size != (1, 1):
                     h = _layout_pin(h, self.layout_pin)
                 x = (x0 + h * scale[:, None, None, :]) * INV_SQRT2

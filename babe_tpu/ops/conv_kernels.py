@@ -73,12 +73,12 @@ def set_backend(name: str) -> None:
 # Opt-in via BABE_PRECISION=int8 (bench.py enables it for the headline
 # metric; quality gate: tools/quality_int8.py — trajectory divergence and
 # LSD delta vs the bf16 path, plus tools/capability_e2e.py).
-# BABE_INT8_MINC bounds which levels quantize.  Default 128, the measured
-# end-to-end optimum (PROFILE.md round 6): the C>=128 convs run at 317-378
-# TF(op)/s int8 (81-96% of v5e's 394 TOPS spec); at C=96 the conv gain is
-# exactly cancelled by the quantize passes over that level's large F*T
-# (trace: conv -2.8, loop fusions +2.7 ms/NFE), and the C<=64 levels are
-# MXU-fill-bound in ANY precision.
+# BABE_INT8_MINC bounds which levels quantize (default depends on the
+# scale mode, see _int8_minc): the C>=128 convs run at 317-378 TF(op)/s
+# int8 (81-96% of v5e's 394 TOPS spec); at C=96 the conv gain is cancelled
+# by the quantize passes under dynamic amax but realized under the analytic
+# bound scales (BABE_INT8_SCALE=bound, PROFILE.md round 7); the C<=64
+# levels are MXU-fill-bound in ANY precision.
 
 
 def _precision() -> str:
@@ -86,7 +86,14 @@ def _precision() -> str:
 
 
 def _int8_minc() -> int:
-    return int(os.environ.get("BABE_INT8_MINC", "128"))
+    # measured end-to-end optima (PROFILE.md rounds 6-7, tools/time_nfe.py):
+    # with the analytic-bound scales the C=96 levels turn from a wash into a
+    # -3 ms/NFE win (92.2 vs 95.2 at MINC=128); under dynamic amax the
+    # quantize passes cancel C=96's conv gain and 128 is optimal.  C<=64 is
+    # MXU-fill-bound in any precision (plain int8 1.37 vs bf16 1.31 ms
+    # isolated; s2d packing loses too — tools/probe_s2d.py).
+    default = "96" if _int8_scale_mode() == "bound" else "128"
+    return int(os.environ.get("BABE_INT8_MINC", default))
 
 
 def _quant_act_per_item(x):
@@ -95,6 +102,24 @@ def _quant_act_per_item(x):
     amax = jnp.max(jnp.abs(x32), axis=tuple(range(1, x.ndim)), keepdims=True)
     s = jnp.maximum(amax, 1e-20) / 127.0
     q = jnp.clip(jnp.round(x32 / s), -127.0, 127.0).astype(jnp.int8)
+    return q, s
+
+
+def _quant_act_with_scale(x, amax_bound):
+    """Quantize with a per-item scale KNOWN BEFORE x is computed.
+
+    amax_bound: (B,) fp32 upper bound on max|x| per item.  Because the
+    scale does not depend on x's values, the quantize is a pure elementwise
+    map — XLA fuses the whole producer chain (GN normalize + sigma affine +
+    gelu) straight into the int8 write, so the bf16 activation NEVER
+    materializes and the separate amax reduce pass disappears (the two
+    extra passes that made C=96 a wash under dynamic amax, PROFILE.md
+    round 6).  The bound being >= the true amax means no clipping, only a
+    slightly coarser step (measured against the LSD gate, not bitwise)."""
+    s = (jnp.maximum(amax_bound, 1e-20) / 127.0).reshape(
+        (-1,) + (1,) * (x.ndim - 1))
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / s),
+                 -127.0, 127.0).astype(jnp.int8)
     return q, s
 
 
@@ -156,6 +181,70 @@ def _conv_int8_bwd(dilation, res, g):
 
 
 conv_int8.defvjp(_conv_int8_fwd, _conv_int8_bwd)
+
+
+def _conv_int8_hinted_impl(x, w, amax_bound, dilation):
+    qx, sx = _quant_act_with_scale(x, amax_bound)
+    qw, sw = _quant_weight_per_cout(w)
+    if os.environ.get("BABE_INT8_INNER_BARRIER", "1") != "0":
+        qx = jax.lax.optimization_barrier(qx)
+    acc = jax.lax.conv_general_dilated(
+        qx, qw, (1, 1), "SAME", rhs_dilation=tuple(dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    return (acc.astype(jnp.float32) * (sx * sw)).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def conv_int8_hinted(x, w, amax_bound, dilation=(1, 1)):
+    """conv_int8 with an analytically-known per-item activation scale.
+
+    amax_bound (B,) fp32 must satisfy amax_bound >= max|x| per item — the
+    caller derives it from the producer's GroupNorm statistics (see
+    ResnetBlock: |gelu(v)| <= |v|, so amax_c(carrier)/denom_c *
+    |gamma_n*(gamma+1)| bounds the conv input before it is computed).
+    With the scale independent of x's values the quantize is pure
+    elementwise and the producer chain fuses into the int8 write: no bf16
+    materialization, no amax pass.  Backward is straight-through like
+    conv_int8; the bound gets a zero cotangent (quantization treated as
+    identity)."""
+    return _conv_int8_hinted_impl(x, w, amax_bound, dilation)
+
+
+def _conv_int8_hinted_fwd(x, w, amax_bound, dilation):
+    return _conv_int8_hinted_impl(x, w, amax_bound, dilation), \
+        (x, w, amax_bound)
+
+
+def _conv_int8_hinted_bwd(dilation, res, g):
+    x, w, amax_bound = res
+    db = jnp.zeros_like(amax_bound)
+    if os.environ.get("BABE_INT8_BWD", "0") == "1":
+        wT = jnp.flip(w, axis=(0, 1)).swapaxes(2, 3)
+        dx = _conv_int8_impl(g, wT, dilation)
+        _, pull_w = jax.vjp(lambda w_: conv_xla(x, w_, dilation), w)
+        (dw,) = pull_w(g)
+        return (dx, dw, db)
+    _, pull = jax.vjp(lambda x_, w_: conv_xla(x_, w_, dilation), x, w)
+    dx, dw = pull(g)
+    return (dx, dw, db)
+
+
+conv_int8_hinted.defvjp(_conv_int8_hinted_fwd, _conv_int8_hinted_bwd)
+
+
+def _int8_scale_mode() -> str:
+    """'bound' (default): the caller-supplied analytic amax bound where
+    available (the ResnetBlock dilated convs — the GN statistics give the
+    scale before the activation exists, so the quantize fuses into the
+    producer chain with no amax pass and no bf16 materialization); falls
+    back to dynamic amax where no hint is passed (pyramid convs, 1x1s,
+    cotangents).  'amax': per-item dynamic scales everywhere.
+    Quality (trained ckpt, every level quantized, tools/quality_int8.py
+    --mode lsd): bound-mode blind-BWE LSD delta vs bf16 = -0.0068 dB mean
+    (high-band -0.0083) — same class as dynamic amax (-0.0025)."""
+    return os.environ.get("BABE_INT8_SCALE", "bound")
 
 
 def _dot1x1_int8_impl(x, w):
@@ -908,9 +997,11 @@ fused_stage_padded.defvjp(_fused_fwd, _fused_bwd)
 
 
 
-def conv2d_same(x, w, dilation=(1, 1)):
+def conv2d_same(x, w, dilation=(1, 1), scale_hint=None):
     """Dispatcher used by the model blocks: picks the fastest implementation
-    for a 'SAME' NHWC conv with odd kernel."""
+    for a 'SAME' NHWC conv with odd kernel.  scale_hint, when given under
+    int8, is a per-item (B,) fp32 upper bound on max|x| (see
+    conv_int8_hinted)."""
     kf, kt = w.shape[0], w.shape[1]
     if (kf, kt) == (1, 1):
         if _int8_active(w.shape[2], w.shape[3], is_1x1=True):
@@ -919,7 +1010,10 @@ def conv2d_same(x, w, dilation=(1, 1)):
             return conv_xla(x, w, (1, 1))
         return conv1x1(x, w)
     if _int8_active(w.shape[2], w.shape[3]):
-        return conv_int8(x, w, tuple(int(d) for d in dilation))
+        dil = tuple(int(d) for d in dilation)
+        if scale_hint is not None:
+            return conv_int8_hinted(x, w, scale_hint, dil)
+        return conv_int8(x, w, dil)
     if (kf, kt) == (5, 3) and int(dilation[1]) == 1:
         return conv5x3_dilated(x, w, int(dilation[0]))
     return conv_xla(x, w, dilation)

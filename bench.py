@@ -9,12 +9,14 @@ Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Runs the int8 conv path by default (BENCH_PRECISION=bf16 reverts): eligible
-(5,3) convs at C>=128 compute on the MXU in int8 with dynamic per-item
-activation scales (babe_tpu/ops/conv_kernels.py).  Quality evidence gating
-this default (VERDICT r3 next-#1): tools/quality_int8.py --mode lsd on a
-TRAINED checkpoint (blind-BWE LSD delta int8-vs-bf16 under the 0.05 dB bar),
---mode traj (same-seed flagship trajectory divergence, reported in
-PROFILE.md), and tools/capability_e2e.py passing under int8.
+(5,3) convs at C>=96 compute on the MXU in int8 with per-item activation
+scales derived analytically from the GroupNorm statistics
+(BABE_INT8_SCALE=bound, babe_tpu/ops/conv_kernels.py).  Quality evidence
+gating this default (VERDICT r3 next-#1): tools/quality_int8.py --mode lsd
+on a TRAINED checkpoint (blind-BWE LSD delta int8-vs-bf16 under the
+0.05 dB bar; bound mode -0.0068 dB mean), --mode traj (same-seed flagship
+trajectory divergence, reported in PROFILE.md), and tools/capability_e2e.py
+passing under int8.
 """
 
 from __future__ import annotations
@@ -26,11 +28,14 @@ import time
 
 
 def main():
-    # measured-optimal settings (PROFILE.md round 6); env overrides win
+    # measured-optimal settings (PROFILE.md rounds 6-7); env overrides win
     precision = os.environ.get("BENCH_PRECISION", "int8")
     if precision == "int8":
         os.environ.setdefault("BABE_PRECISION", "int8")
-        os.environ.setdefault("BABE_INT8_MINC", "128")
+        # analytic-bound activation scales + MINC=96: 92.2 ms/NFE vs 96.4
+        # for dynamic amax at MINC=128 (tools/time_nfe.py, round 7)
+        os.environ.setdefault("BABE_INT8_SCALE", "bound")
+        os.environ.setdefault("BABE_INT8_MINC", "96")
         os.environ.setdefault("BABE_LAYOUT_PIN", "fwd<=64")
 
     import jax

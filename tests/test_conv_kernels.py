@@ -224,6 +224,67 @@ def test_conv_int8_bwd_quantized_dx(rng, monkeypatch):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_conv_int8_hinted_close_and_straight_through(rng):
+    """conv_int8_hinted: a per-item analytic amax BOUND (>= the true amax,
+    here deliberately 1.5x loose) replaces the dynamic amax — forward stays
+    within per-channel-int8 error of the exact conv, backward is the exact
+    straight-through transpose, and the bound itself gets a zero cotangent."""
+    x = jnp.asarray(rng.standard_normal((2, 16, 24, 96)).astype(np.float32))
+    w = jnp.asarray(0.05 * rng.standard_normal((5, 3, 96, 96)).astype(np.float32))
+    bound = jnp.max(jnp.abs(x), axis=(1, 2, 3)) * 1.5
+    y8 = jax.jit(lambda x, w, b: ck.conv_int8_hinted(x, w, b, (2, 1)))(
+        x, w, bound)
+    yb = ck.conv_xla(x, w, (2, 1))
+    rel = float(jnp.linalg.norm(y8 - yb) / jnp.linalg.norm(yb))
+    assert rel < 0.04, rel
+    g = jnp.asarray(rng.standard_normal(y8.shape).astype(np.float32))
+    _, p8 = jax.vjp(lambda x, w, b: ck.conv_int8_hinted(x, w, b, (2, 1)),
+                    x, w, bound)
+    _, pb = jax.vjp(lambda x, w: ck.conv_xla(x, w, (2, 1)), x, w)
+    dx8, dw8, db8 = p8(g)
+    dxb, dwb = pb(g)
+    np.testing.assert_allclose(np.asarray(dx8), np.asarray(dxb),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dw8), np.asarray(dwb),
+                               rtol=1e-4, atol=1e-4)
+    assert float(jnp.max(jnp.abs(db8))) == 0.0
+
+
+def test_resnet_block_int8_bound_scale(rng, monkeypatch):
+    """BABE_INT8_SCALE=bound: the ResnetBlock derives the int8 activation
+    scale from the GN statistics (amax_c(x)/denom_c * |gamma_n*(gamma+1)|,
+    valid since |gelu(v)| <= |v|) — output must stay as close to bf16 as
+    the dynamic-amax mode (the bound is an upper bound: coarser step, never
+    clipping)."""
+    from babe_tpu.models.blocks import ResnetBlock
+
+    monkeypatch.setattr(ck, "_BACKEND", "xla")
+    monkeypatch.setenv("BABE_PRECISION", "int8")
+    monkeypatch.setenv("BABE_INT8_MINC", "16")
+    blk = ResnetBlock(dim=32, dim_out=32, num_dils=3)
+    x = jnp.asarray((0.5 * rng.standard_normal((2, 16, 24, 32)))
+                    .astype(np.float32))
+    emb = jnp.asarray(rng.standard_normal((2, 256)).astype(np.float32))
+    v = blk.init(jax.random.PRNGKey(0), x, emb)
+    # open the AdaLN-zero gates so the dilated convs contribute
+    v = jax.tree_util.tree_map_with_path(
+        lambda p, a: a + 0.05 if any("gate" in str(k) for k in p) else a, v)
+    monkeypatch.setenv("BABE_INT8_SCALE", "amax")
+    y_amax = blk.apply(v, x, emb)
+    monkeypatch.setenv("BABE_INT8_SCALE", "bound")
+    y_bound = blk.apply(v, x, emb)
+    monkeypatch.setenv("BABE_PRECISION", "bf16")
+    y_ref = blk.apply(v, x, emb)
+
+    def rel(a, b):
+        return float(jnp.linalg.norm(a - b) / jnp.linalg.norm(b))
+
+    assert rel(y_bound, y_ref) < 1.5 * max(rel(y_amax, y_ref), 1e-3), (
+        rel(y_bound, y_ref), rel(y_amax, y_ref))
+    # bound mode took a different numeric path than amax mode
+    assert not np.array_equal(np.asarray(y_bound), np.asarray(y_amax))
+
+
 def test_dot1x1_int8_close(rng):
     x = jnp.asarray(rng.standard_normal((2, 16, 24, 96)).astype(np.float32))
     w = jnp.asarray(0.05 * rng.standard_normal((1, 1, 96, 128)).astype(np.float32))

@@ -289,14 +289,21 @@ def test_remat_grads_match():
                                    rtol=1e-5, atol=1e-6)
 
 
-def test_train_step_int8_qat(tmp_path, monkeypatch):
+import pytest
+
+
+@pytest.mark.parametrize("scale_mode", ["amax", "bound"])
+def test_train_step_int8_qat(tmp_path, monkeypatch, scale_mode):
     """Quantization-aware training smoke: under BABE_PRECISION=int8 the
     DP-sharded train step runs the quantized forward with the exact
     straight-through backward: loss finite, params update.  (Descent needs
     more steps than a smoke test affords — the EDM loss is sigma-sampled
-    and the AdaLN-zero gates make early steps tiny.)"""
+    and the AdaLN-zero gates make early steps tiny.)  Covers both the
+    dynamic-amax and the analytic-bound activation-scale modes (the bound
+    hint is traced under autodiff; its cotangent is defined zero)."""
     monkeypatch.setenv("BABE_PRECISION", "int8")
     monkeypatch.setenv("BABE_INT8_MINC", "8")
+    monkeypatch.setenv("BABE_INT8_SCALE", scale_mode)
     args = make_args(tmp_path)
     model = CQTDiffPlus.from_config(args)
     edm = EDM.from_config(args, cqt_hpf=model.apply_hpf_DC)

@@ -11,9 +11,18 @@ The input pack is a pure reshape (C-minor contiguity); the output unpack is
 two slices + concat + reshape (phase-1 outputs are computed shifted by one
 packed step so both phases share the same 2-tap window).
 
-Usage: python tools/probe_s2d.py [check|tpu]
-  check — numeric parity vs conv_xla on CPU
-  tpu   — scan-amortized timing at the model's level shapes
+Usage: python tools/probe_s2d.py [check|tpu|tpu-int8]
+  check    — numeric parity vs conv_xla on CPU
+  tpu      — scan-amortized timing at the model's level shapes (bf16)
+  tpu-int8 — the same question on the int8 conv path
+
+MEASURED (both negative — kept as the record):
+  bf16 (round 4): 0.67-1.08x — the 1.33x packed FLOPs outweigh the fill
+  gain at XLA's bf16 conv rates.
+  int8 (round 7): 0.37-0.71x vs plain int8 — worse still; XLA's int8 conv
+  emitter gets no benefit from T-phase channel packing at these shapes
+  ((64,1280,64)d2 1.37->1.92 ms, (128,640,96)d4 1.46->3.76,
+  (192,320,96)d8 1.13->3.05, scan-amortized, v5e).
 """
 
 from __future__ import annotations
@@ -146,11 +155,81 @@ def tpu():
               f"| {s2:.2f} ({gf/s2:.0f}) | {base/s2:.2f}x |")
 
 
+def tpu_int8():
+    """int8 re-run of the s2d question: in bf16 s2d lost (0.67-1.08x,
+    round-4 probe) because the packed conv's 1.33x FLOPs outweighed the
+    fill gain.  At int8 the C>=128 MXU rate is ~2.3-2.7x bf16 while C=64
+    gains only 1.15x (PROFILE.md round 6) — packing C=64->128 should now
+    realize the int8 rate exactly where plain int8 buys nothing."""
+    global FLOOR
+    FLOOR, _ = timeit(jax.jit(lambda x: jnp.sum(x * 2)), jnp.zeros((8,)), n=8)
+    print(f"floor {FLOOR:.1f} ms", file=sys.stderr)
+    from babe_tpu.ops.conv_kernels import (_quant_act_per_item,
+                                           _quant_weight_per_cout)
+    key = jax.random.PRNGKey(0)
+    DT = jnp.bfloat16
+    shapes = [
+        (64, 1280, 64, 2),
+        (128, 640, 96, 4),
+        (192, 320, 96, 8),
+    ]
+    print("| shape | bf16 ms | int8 ms | int8+s2d ms | s2d speedup vs int8 |")
+    print("|---|---|---|---|---|")
+    for F, T, C, d in shapes:
+        gf = 2 * B * F * T * C * C * 15 / 1e9
+        x = jax.random.normal(key, (B, F, T, C), DT)
+        w = jax.random.normal(key, (5, 3, C, C), DT) * 0.02
+        wp = pack_weights(w.astype(jnp.float32))
+        qwp, swp = _quant_act_q(wp)
+        qw, sw = _quant_weight_per_cout(w.astype(jnp.float32))
+
+        base = scan_bench(lambda xx: conv_xla(xx, w, (d, 1)), x)
+
+        def int8_plain(xx):
+            qx, sx = _quant_act_per_item(xx)
+            qx = jax.lax.optimization_barrier(qx)
+            acc = jax.lax.conv_general_dilated(
+                qx, qw, (1, 1), "SAME", rhs_dilation=(d, 1),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+            return (acc.astype(jnp.float32) * (sx * sw)).astype(xx.dtype)
+
+        def int8_s2d(xx):
+            B_, F_, T_, C_ = xx.shape
+            qx, sx = _quant_act_per_item(xx)
+            qx = jax.lax.optimization_barrier(qx)
+            X = qx.reshape(B_, F_, T_ // 2, 2 * C_)
+            acc = jax.lax.conv_general_dilated(
+                X, qwp, (1, 1), padding=((2 * d, 2 * d), (1, 1)),
+                rhs_dilation=(d, 1),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+            out = (acc.astype(jnp.float32) * (sx * swp)).astype(xx.dtype)
+            ph0 = out[:, :, : T_ // 2, :C_]
+            ph1 = out[:, :, 1:, C_:]
+            return jnp.concatenate([ph0, ph1], axis=-1).reshape(xx.shape)
+
+        i8 = scan_bench(int8_plain, x)
+        s2 = scan_bench(int8_s2d, x)
+        print(f"| ({F},{T},{C}) d{d} | {base:.2f} ({gf/base:.0f} TF/s) "
+              f"| {i8:.2f} ({gf/i8:.0f}) | {s2:.2f} ({gf/s2:.0f}) "
+              f"| {i8/s2:.2f}x |")
+
+
+def _quant_act_q(wp):
+    """Per-output-channel int8 quantization of the packed kernel (zeros in
+    the 75%-dense pack quantize to exact 0)."""
+    from babe_tpu.ops.conv_kernels import _quant_weight_per_cout
+    return _quant_weight_per_cout(wp)
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "check"
     if mode == "check":
         import os
         os.environ.setdefault("JAX_PLATFORMS", "cpu")
         check()
+    elif mode == "tpu-int8":
+        tpu_int8()
     else:
         tpu()
