@@ -285,6 +285,47 @@ def test_resnet_block_int8_bound_scale(rng, monkeypatch):
     assert not np.array_equal(np.asarray(y_bound), np.asarray(y_amax))
 
 
+def test_resnet_block_bound_hint_is_upper_bound(rng, monkeypatch):
+    """The analytic hint the ResnetBlock passes to conv_int8_hinted must be
+    a TRUE per-item upper bound on max|conv input| — the no-clipping
+    guarantee the whole bound-mode derivation rests on (and the broadcast
+    across (B,C)/(B,g) shapes it is easiest to silently break)."""
+    from babe_tpu.models.blocks import ResnetBlock
+
+    recorded = []
+    orig = ck.conv_int8_hinted
+
+    def spy(x, w, bound, dilation=(1, 1)):
+        recorded.append((x, bound))
+        return orig(x, w, bound, dilation)
+
+    monkeypatch.setattr(ck, "_BACKEND", "xla")
+    monkeypatch.setenv("BABE_PRECISION", "int8")
+    monkeypatch.setenv("BABE_INT8_MINC", "16")
+    monkeypatch.setenv("BABE_INT8_SCALE", "bound")
+    monkeypatch.setattr(ck, "conv_int8_hinted", spy)
+
+    blk = ResnetBlock(dim=32, dim_out=32, num_dils=3)
+    # large-amplitude input + opened gates: exercise real dynamic range
+    x = jnp.asarray((3.0 * rng.standard_normal((2, 16, 24, 32)))
+                    .astype(np.float32))
+    emb = jnp.asarray(rng.standard_normal((2, 256)).astype(np.float32))
+    v = blk.init(jax.random.PRNGKey(0), x, emb)
+    v = jax.tree_util.tree_map_with_path(
+        lambda p, a: a + 0.3 if any("gate" in str(k) or "affine" in str(k)
+                                    for k in p) else a, v)
+    recorded.clear()  # init() above also ran the forward
+    blk.apply(v, x, emb)
+    assert len(recorded) == 3, len(recorded)  # one hinted conv per dilation
+    for h, bound in recorded:
+        amax = np.asarray(jnp.max(jnp.abs(h.astype(jnp.float32)),
+                                  axis=(1, 2, 3)))
+        b = np.asarray(bound)
+        # strict upper bound per item (tiny fp slack for the bf16 rounding
+        # of the normalization denominator)
+        assert (b >= amax * (1 - 1e-2)).all(), (b, amax)
+
+
 def test_dot1x1_int8_close(rng):
     x = jnp.asarray(rng.standard_normal((2, 16, 24, 96)).astype(np.float32))
     w = jnp.asarray(0.05 * rng.standard_normal((1, 1, 96, 128)).astype(np.float32))

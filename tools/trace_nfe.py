@@ -148,6 +148,12 @@ def summarize(rows, batch):
     print("\ntop 40 ops (ms/NFE):")
     for name, (t, cat) in sorted(op_tot.items(), key=lambda kv: -kv[1][0])[:40]:
         print(f"  {t / ITERS / 1e3:8.3f}  [{cat:>14s}]  {name[:110]}")
+    # full itemization for bucket attribution (tools/fusion_inspect.py maps
+    # the names back to their HLO bodies)
+    with open("/tmp/nfe_ops.tsv", "w") as f:
+        for name, (t, cat) in sorted(op_tot.items(), key=lambda kv: -kv[1][0]):
+            f.write(f"{t / ITERS / 1e3:.4f}\t{cat}\t{name}\n")
+    print("\nfull per-op table: /tmp/nfe_ops.tsv")
 
 
 def main():
