@@ -342,7 +342,13 @@ def _gn_forward(x, gamma, g: int, eps: float):
     var = (sq - m * m) * (n / (n - 1.0))
     std = jnp.sqrt(jnp.maximum(var, 0.0))  # (B, g)
     denom = jnp.repeat(std + eps, cg, axis=-1).astype(x.dtype)  # (B, C)
-    y = x / denom[:, None, None, :] * gamma.astype(x.dtype)
+    # gamma/denom folded into ONE per-(B,C) factor and applied as a
+    # multiply: a full-tensor divide costs several VPU ops/element on TPU
+    # (the normalize sat inside the hot quantize/gelu loop fusions —
+    # tools/trace_nfe.py round 8), the (B,C)-sized reciprocal is free.
+    scale = (gamma[None, :].astype(jnp.float32)
+             / (jnp.repeat(std + eps, cg, axis=-1))).astype(x.dtype)
+    y = x * scale[:, None, None, :]
     return y, (m, std, denom)
 
 
@@ -630,7 +636,15 @@ class ResnetBlock(nn.Module):
                 scale = Linear(N, init_weight=INIT_ZERO,
                                name=f"gate_{i}")(sigma_emb)
                 h = h * (gamma[:, None, None, :] + 1.0)
-                h = gelu_exact(h)
+                if self.kernel_size != (1, 1) and _int8_active(N, N):
+                    # output feeds an int8 quantize: the degree-6 erf's
+                    # error sits 5.9x under the quantization half-step
+                    # (see _gelu_for_int8) and the fused GN-affine-gelu-
+                    # quantize chain is VPU-bound
+                    from babe_tpu.ops.conv_kernels import _gelu_for_int8
+                    h = _gelu_for_int8(h)
+                else:
+                    h = gelu_exact(h)
                 if use_hint:
                     a_abs = jnp.abs(
                         gamma_n[None, :]

@@ -100,8 +100,10 @@ def _quant_act_per_item(x):
     """(B, ..., C) -> int8 with per-item scale [B, 1...]."""
     x32 = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(x32), axis=tuple(range(1, x.ndim)), keepdims=True)
-    s = jnp.maximum(amax, 1e-20) / 127.0
-    q = jnp.clip(jnp.round(x32 / s), -127.0, 127.0).astype(jnp.int8)
+    amax = jnp.maximum(amax, 1e-20)
+    s = amax / 127.0
+    q = jnp.clip(jnp.round(x32 * (127.0 / amax)),
+                 -127.0, 127.0).astype(jnp.int8)
     return q, s
 
 
@@ -116,9 +118,13 @@ def _quant_act_with_scale(x, amax_bound):
     extra passes that made C=96 a wash under dynamic amax, PROFILE.md
     round 6).  The bound being >= the true amax means no clipping, only a
     slightly coarser step (measured against the LSD gate, not bitwise)."""
-    s = (jnp.maximum(amax_bound, 1e-20) / 127.0).reshape(
-        (-1,) + (1,) * (x.ndim - 1))
-    q = jnp.clip(jnp.round(x.astype(jnp.float32) / s),
+    bshape = (-1,) + (1,) * (x.ndim - 1)
+    amax = jnp.maximum(amax_bound, 1e-20)
+    s = (amax / 127.0).reshape(bshape)
+    # multiply by the (B,)-sized reciprocal instead of a full-tensor
+    # divide (several VPU ops/element saved in the fused quantize chain)
+    inv = (127.0 / amax).reshape(bshape)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) * inv),
                  -127.0, 127.0).astype(jnp.int8)
     return q, s
 
@@ -628,6 +634,33 @@ def _gelu_impl(x):
     return (0.5 * xf * (1.0 + _erf_poly(z))).astype(x.dtype)
 
 
+# degree-6 minimax fit of the same erf form (|erf err| <= 1.4e-3, so
+# |gelu err| <= 6.7e-4 * |x|).  For a gelu whose output feeds an int8
+# quantize with per-item scale bound/127 the poly error sits 5.9x below
+# the quantization HALF-step (3.9e-3 * bound, and the analytic bound covers
+# the pre-gelu values the error scales with) — strictly inside the noise
+# the int8 path already accepts.  8 fewer VPU ops/element in the fused
+# GN-affine-gelu-quantize chain, which is VPU-bound, not HBM-bound
+# (clamp_convert fusions, tools/trace_nfe.py round 8).
+_ERF_C6 = (1.1264247159e+00, -3.6561742760e-01, 9.7881790600e-02,
+           -1.7389500700e-02, 1.8964682000e-03, -1.1349870000e-04,
+           2.8324000000e-06)
+
+
+def _erf_poly6(z):
+    v = z * z
+    p = _ERF_C6[-1]
+    for c in _ERF_C6[-2::-1]:
+        p = p * v + c
+    return z * p
+
+
+def _gelu_cheap_impl(x):
+    xf = x.astype(jnp.float32)
+    z = jnp.clip(xf * 0.7071067811865475, -3.2, 3.2)
+    return (0.5 * xf * (1.0 + _erf_poly6(z))).astype(x.dtype)
+
+
 _INV_SQRT2PI = 0.3989422804014327
 
 
@@ -670,6 +703,25 @@ def _gelu_bwd(x, g):
 
 
 _gelu_exact.defvjp(_gelu_fwd, _gelu_bwd)
+
+
+@jax.custom_vjp
+def _gelu_for_int8(x):
+    """gelu whose output is about to be int8-quantized: degree-6 erf (see
+    _ERF_C6 — error strictly below the quantization half-step), exact
+    analytic derivative in the backward (same as _gelu_exact, so the
+    guided sampler's reconstruction gradients keep full accuracy).
+    BABE_INT8_GELU=exact reverts to the degree-10 forward for A/B."""
+    if os.environ.get("BABE_INT8_GELU", "cheap") == "exact":
+        return _gelu_impl(x)
+    return _gelu_cheap_impl(x)
+
+
+def _gelu_i8_fwd(x):
+    return _gelu_for_int8(x), x
+
+
+_gelu_for_int8.defvjp(_gelu_i8_fwd, _gelu_bwd)
 
 
 
