@@ -188,6 +188,11 @@ class BABE:
           and the default ``precision=None`` leaves the env untouched (so
           a shell-set BABE_PRECISION keeps working through the API).
           ``precision="bf16"`` explicitly resets a prior int8 selection.
+          Training in the same process is unaffected either way: the
+          trainer's step wraps its trace in
+          ``conv_kernels.exact_backward()``, which overrides BABE_INT8_BWD,
+          so gradients stay exact-precision regardless of what an earlier
+          ``load()`` selected for inference.
         """
         if precision not in (None, "bf16", "int8"):
             raise ValueError(f"precision must be 'bf16', 'int8' or None, "

@@ -32,7 +32,9 @@ from babe_tpu.ops.conv_kernels import (
     conv2d_same,
     conv_xla,
     fused_stage_active,
+    fused_stage_int8,
     fused_stage_padded,
+    int8_fused_minc,
 )
 
 
@@ -324,6 +326,22 @@ class Conv1d(nn.Module):
         return conv(x)
 
 
+# GroupNorm defaults shared by BiasFreeGroupNorm AND the paths that call
+# _gn_forward directly (the int8 bound-hint branch, the fused Pallas chain)
+# so the bound-mode GN can never silently diverge from the module's
+# (ADVICE r4: literal 8/1e-7 duplication).
+GN_GROUPS = 8
+GN_EPS = 1e-7
+
+# Safety inflation on the analytic int8 amax bound: the bound is derived in
+# fp32 but the activation is produced with a bf16-rounded folded GN scale,
+# and the degree-6 gelu polynomial can overshoot |v| by ~7e-4 — together up
+# to ~1% above the fp32 bound.  1.02x keeps the hint a true upper bound
+# (strict spy test in tests/test_conv_kernels.py) at the cost of a 2%
+# coarser quantization step — far inside the LSD gate's noise floor.
+BOUND_SAFETY = 1.02
+
+
 def _gn_forward(x, gamma, g: int, eps: float):
     B, F, T, C = x.shape
     cg = C // g
@@ -414,8 +432,8 @@ class BiasFreeGroupNorm(nn.Module):
     (networks/cqtdiff+.py:137-163). Input (B, F, T, C), groups over channels."""
 
     num_features: int
-    num_groups: int = 8
-    eps: float = 1e-7
+    num_groups: int = GN_GROUPS
+    eps: float = GN_EPS
 
     @nn.compact
     def __call__(self, x):
@@ -597,7 +615,12 @@ class ResnetBlock(nn.Module):
             h = TimeAttentionBlock(self.attention_dict, self.Fdim, name="attn_block")(h)
             x = (i_x + h * scale[:, None, None, :]) * INV_SQRT2
 
+        _i8f_minc = int8_fused_minc()
         if (self.kernel_size == (5, 3) and self.use_norm
+                and self.num_dils > 0 and _i8f_minc is not None
+                and N >= _i8f_minc):
+            x = self._fused_dil_chain_int8(x, sigma_emb, N)
+        elif (self.kernel_size == (5, 3) and self.use_norm
                 and self.num_dils > 0 and fused_stage_active()):
             x = self._fused_dil_chain(x, sigma_emb, N)
         else:
@@ -625,13 +648,16 @@ class ResnetBlock(nn.Module):
                 h = x
                 hint = None
                 if use_hint:
-                    gamma_n = BiasFreeGroupNorm(N, 8, name=f"norm_{i}")(None)
-                    h, (_m, std_, _denom) = _gn_forward(h, gamma_n, 8, 1e-7)
+                    gn = BiasFreeGroupNorm(N, name=f"norm_{i}")
+                    gamma_n = gn(None)
+                    h, (_m, std_, _denom) = _gn_forward(
+                        h, gamma_n, gn.num_groups, gn.eps)
                     amax_c = jnp.max(jnp.abs(x.astype(jnp.float32)),
                                      axis=(1, 2))  # (B, C)
-                    denom32 = jnp.repeat(std_ + 1e-7, N // 8, axis=-1)
+                    denom32 = jnp.repeat(std_ + gn.eps, N // gn.num_groups,
+                                         axis=-1)
                 elif self.use_norm:
-                    h = BiasFreeGroupNorm(N, 8, name=f"norm_{i}")(h)
+                    h = BiasFreeGroupNorm(N, name=f"norm_{i}")(h)
                 gamma = Linear(N, name=f"affine_{i}")(sigma_emb)
                 scale = Linear(N, init_weight=INIT_ZERO,
                                name=f"gate_{i}")(sigma_emb)
@@ -649,7 +675,8 @@ class ResnetBlock(nn.Module):
                     a_abs = jnp.abs(
                         gamma_n[None, :]
                         * (gamma.astype(jnp.float32) + 1.0)) / denom32
-                    hint = jnp.max(amax_c * a_abs, axis=-1)  # (B,)
+                    hint = BOUND_SAFETY * jnp.max(amax_c * a_abs,
+                                                  axis=-1)  # (B,)
                 if self.kernel_size != (1, 1):
                     # keep the gelu/affine chain OUT of the conv fusion: the
                     # TPU conv emitter re-evaluates fused producers once per
@@ -686,7 +713,7 @@ class ResnetBlock(nn.Module):
         gated residual, with the next stage's GN moments emitted by the
         kernel).  Parameter tree identical to the unfused loop."""
         B, F, T, C = x.shape
-        g = 8
+        g = GN_GROUPS
         cg = N // g
         n = F * T * cg
         Cp = _round128(N)
@@ -699,7 +726,7 @@ class ResnetBlock(nn.Module):
             sq = (s2[:, :N] / (F * T)).reshape(B, g, cg).mean(-1)
             var = (sq - m * m) * (n / (n - 1.0))
             std = jnp.sqrt(jnp.maximum(var, 0.0))
-            return jnp.repeat(std + 1e-7, cg, axis=-1)  # (B, N)
+            return jnp.repeat(std + GN_EPS, cg, axis=-1)  # (B, N)
 
         x32 = x.astype(jnp.float32)
         s1 = jnp.sum(x32, axis=(1, 2))
@@ -735,6 +762,64 @@ class ResnetBlock(nn.Module):
             s1, s2 = mom[0], mom[1]
 
         return xp[:, 2 * dm:2 * dm + F, 8:8 + T, :N]
+
+    def _fused_dil_chain_int8(self, x, sigma_emb, N):
+        """Dilation stack via the int8 fused Pallas stage: one VMEM pass per
+        stage for GN-normalize + sigma-affine + gelu + int8 quantize +
+        int8 dilated conv + requant + gated residual, with the next stage's
+        GN moments AND per-channel amax (the analytic bound's input) emitted
+        by the kernel — zero extra passes over the activations anywhere in
+        the chain.  Parameter tree identical to the unfused loop; scales
+        follow the BABE_INT8_SCALE=bound scheme (conv_int8_hinted)."""
+        B, F, T, C = x.shape
+        g = GN_GROUPS
+        cg = N // g
+        n = F * T * cg
+        Cp = _round128(N)
+        T8 = -(-T // 8) * 8
+        dt = x.dtype
+
+        def denom_from(s1, s2):
+            m = (s1[:, :N] / (F * T)).reshape(B, g, cg).mean(-1)
+            sq = (s2[:, :N] / (F * T)).reshape(B, g, cg).mean(-1)
+            var = (sq - m * m) * (n / (n - 1.0))
+            std = jnp.sqrt(jnp.maximum(var, 0.0))
+            return jnp.repeat(std + GN_EPS, cg, axis=-1)  # (B, N)
+
+        x32 = x.astype(jnp.float32)
+        s1 = jnp.sum(x32, axis=(1, 2))
+        s2 = jnp.sum(x32 * x32, axis=(1, 2))
+        amax_c = jnp.max(jnp.abs(x32), axis=(1, 2))  # (B, N)
+
+        dm = 2 ** (self.num_dils - 1)
+        xp = jnp.pad(x, ((0, 0), (2 * dm, 2 * dm), (8, 8 + (T8 - T)),
+                         (0, Cp - N)))
+        scratch = jnp.zeros_like(xp)
+        pad = Cp - N
+        for i in range(self.num_dils):
+            d = 2 ** i
+            gamma_n = BiasFreeGroupNorm(N, g, name=f"norm_{i}")(None)
+            gamma = Linear(N, name=f"affine_{i}")(sigma_emb)
+            scale = Linear(N, init_weight=INIT_ZERO,
+                           name=f"gate_{i}")(sigma_emb)
+            denom = denom_from(s1, s2)
+            a_vec = (gamma_n[None, :] * (gamma.astype(jnp.float32) + 1.0)
+                     / denom)  # (B, N) f32
+            # |gelu(v)| <= |v|: per-item bound on the conv input, known
+            # before the activation exists (same derivation as the unfused
+            # bound mode; BOUND_SAFETY covers bf16/poly rounding)
+            bound = BOUND_SAFETY * jnp.max(amax_c * jnp.abs(a_vec), axis=-1)
+            s_vec = jnp.pad(scale.astype(jnp.float32), ((0, 0), (0, pad)))
+            a_pad = jnp.pad(a_vec, ((0, 0), (0, pad)))
+            k = Conv2d(N, (5, 3), dilation=(d, 1), in_features=N,
+                       name=f"H_{i}")(None)  # (5,3,N,N) fp32
+            w4 = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, pad)))
+            yp, mom3 = fused_stage_int8(
+                xp, scratch, w4, a_pad, s_vec, bound, (dm, d, F, T, N, Cp))
+            xp, scratch = yp, xp
+            s1, s2, amax_c = mom3[0], mom3[1], mom3[2][:, :N]
+
+        return xp[:, 2 * dm:2 * dm + F, 8:8 + T, :N].astype(dt)
 
 
 _RESAMPLE_KERNELS = {

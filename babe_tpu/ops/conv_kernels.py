@@ -30,6 +30,7 @@ otherwise (CPU tests exercise the kernel in interpret mode explicitly).
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import os
 
@@ -85,6 +86,32 @@ def _precision() -> str:
     return os.environ.get("BABE_PRECISION", "bf16")
 
 
+# Training must keep the exact conv backward even when a same-process
+# BABE.load(precision='int8') has enabled BABE_INT8_BWD for inference: the
+# quantized dx cotangent is an inference-only trade (guided-sampler
+# reconstruction gradients, LSD-gated), not a training estimator.  The
+# trainer wraps its step body in exact_backward(), which wins over the env
+# var at trace time (ADVICE r4 medium: api.py/env cross-talk).
+_EXACT_BWD = False
+
+
+@contextlib.contextmanager
+def exact_backward():
+    """Force the exact full-precision conv backward for everything traced
+    inside this context, regardless of BABE_INT8_BWD."""
+    global _EXACT_BWD
+    prev = _EXACT_BWD
+    _EXACT_BWD = True
+    try:
+        yield
+    finally:
+        _EXACT_BWD = prev
+
+
+def _int8_bwd_active() -> bool:
+    return (not _EXACT_BWD) and os.environ.get("BABE_INT8_BWD", "0") == "1"
+
+
 def _int8_minc() -> int:
     # measured end-to-end optima (PROFILE.md rounds 6-7, tools/time_nfe.py):
     # with the analytic-bound scales the C=96 levels turn from a wash into a
@@ -116,8 +143,11 @@ def _quant_act_with_scale(x, amax_bound):
     gelu) straight into the int8 write, so the bf16 activation NEVER
     materializes and the separate amax reduce pass disappears (the two
     extra passes that made C=96 a wash under dynamic amax, PROFILE.md
-    round 6).  The bound being >= the true amax means no clipping, only a
-    slightly coarser step (measured against the LSD gate, not bitwise)."""
+    round 6).  The caller inflates the analytic bound by BOUND_SAFETY
+    (models/blocks.py) to cover bf16 rounding of the folded GN scale and
+    the gelu polynomial's ~7e-4 overshoot, so the realized amax never
+    exceeds the hint — no clipping, only a slightly coarser step (measured
+    against the LSD gate, not bitwise)."""
     bshape = (-1,) + (1,) * (x.ndim - 1)
     amax = jnp.maximum(amax_bound, 1e-20)
     s = (amax / 127.0).reshape(bshape)
@@ -168,7 +198,7 @@ def _conv_int8_fwd(x, w, dilation):
 
 def _conv_int8_bwd(dilation, res, g):
     x, w = res
-    if os.environ.get("BABE_INT8_BWD", "0") == "1":
+    if _int8_bwd_active():
         # dx on the int8 MXU as well: for a stride-1 'SAME' conv with odd
         # kernel and symmetric dilation padding, the input cotangent is the
         # 'SAME' correlation of g with the spatially-flipped, io-swapped
@@ -209,7 +239,8 @@ def conv_int8_hinted(x, w, amax_bound, dilation=(1, 1)):
     amax_bound (B,) fp32 must satisfy amax_bound >= max|x| per item — the
     caller derives it from the producer's GroupNorm statistics (see
     ResnetBlock: |gelu(v)| <= |v|, so amax_c(carrier)/denom_c *
-    |gamma_n*(gamma+1)| bounds the conv input before it is computed).
+    |gamma_n*(gamma+1)|, inflated by BOUND_SAFETY for bf16/poly rounding,
+    bounds the conv input before it is computed).
     With the scale independent of x's values the quantize is pure
     elementwise and the producer chain fuses into the int8 write: no bf16
     materialization, no amax pass.  Backward is straight-through like
@@ -226,7 +257,7 @@ def _conv_int8_hinted_fwd(x, w, amax_bound, dilation):
 def _conv_int8_hinted_bwd(dilation, res, g):
     x, w, amax_bound = res
     db = jnp.zeros_like(amax_bound)
-    if os.environ.get("BABE_INT8_BWD", "0") == "1":
+    if _int8_bwd_active():
         wT = jnp.flip(w, axis=(0, 1)).swapaxes(2, 3)
         dx = _conv_int8_impl(g, wT, dilation)
         _, pull_w = jax.vjp(lambda w_: conv_xla(x, w_, dilation), w)
@@ -739,8 +770,12 @@ def _dil_stage_ref(xp, prev, w4, a, s, static):
     del prev
     x = xp[:, 2 * dm:2 * dm + F, 8:8 + T, :C]
     w = w4[:, :, :C, :C]
-    h = jax.nn.gelu(x * a[:, None, None, :C].astype(x.dtype),
-                    approximate=False)
+    # _gelu_exact (|err| <= ~1e-5) instead of jax.nn.gelu: this function is
+    # also the fused stages' custom-vjp BODY, and XLA's autodiff of the
+    # native erf gelu rematerializes the producer chain at ~140 VPU
+    # ops/element (the round-4 finding) — the custom vjp keeps the guided
+    # sampler's backward at the analytic-derivative cost.
+    h = _gelu_exact(x * a[:, None, None, :C].astype(x.dtype))
     y = (x + conv_xla(h, w, (d, 1)) * s[:, None, None, :C].astype(x.dtype))
     y = y / jnp.sqrt(2.0).astype(x.dtype)
     y32 = y.astype(jnp.float32)
@@ -1045,6 +1080,338 @@ def _fused_bwd(static, res, g):
 
 
 fused_stage_padded.defvjp(_fused_fwd, _fused_bwd)
+
+
+# ------------------------------------------------ fused dilated stage, int8
+#
+# The int8 re-economization of fused_stage_padded (VERDICT r4 next-#1).
+# The bf16 fused kernel lost to XLA because the implicit-GEMM patch build is
+# VPU-bound (each element crosses the vector unit ~15x); at int8 the patch
+# bytes halve AND the dots run at the 394-TOPS MXU rate, while the kernel
+# eliminates exactly the HBM traffic XLA cannot fuse across a conv: the
+# GN-stats read pass, the quantize write+read, the requant output, and the
+# residual-mix pass (the 22.7 ms/NFE "loop fusions" bucket in the round-7
+# trace).  Per stage, ONE read of the carrier and ONE write of the output:
+#
+#     h_q  = int8( gelu(x * a) * 127/bound )          (prologue, in VMEM)
+#     acc  = conv5x3_d(h_q, w_q)  int8 x int8 -> int32  (implicit GEMM)
+#     y    = x * 1/sqrt2 + acc * post                  (epilogue, fp32)
+#     mom  = [sum(y), sum(y^2), amax|y|] per (B, C)    (for the NEXT stage's
+#                                                        GN stats AND bound)
+#
+# The amax row is what makes the chain self-sufficient: the analytic bound
+# for stage i+1 needs per-channel amax of stage i's output, which the
+# epilogue computes in-register for free.  Scales follow conv_int8_hinted:
+# per-item activation bound (inflated by the caller), per-output-channel
+# weight scales, straight-through exact backward.
+
+
+def _quant_i8(hf, iv):
+    """f32 -> int8 with per-item scale vector iv = 127/bound (broadcast)."""
+    return jnp.clip(jnp.round(hf * iv), -127.0, 127.0).astype(jnp.int8)
+
+
+def _dil_stage_int8_ref(xp, prev, qw, a, ivb, post, static):
+    """XLA reference of the int8 fused stage (same quantized math as the
+    Pallas kernel; CPU fallback and interpret-mode test oracle).
+
+    qw: (5, 3, Cp, Cp) int8 weights; ivb/post: (B, Cp) f32 per-item
+    quantize reciprocal / dequant-gate-invsqrt2 epilogue factor."""
+    dm, d, F, T, C, Cp = static
+    del prev, C
+    B = xp.shape[0]
+    T8 = xp.shape[2] - 16
+    x = xp[:, 2 * dm:2 * dm + F, 8:8 + T, :]
+    hf = _gelu_cheap_impl(x.astype(jnp.float32) * a[:, None, None, :])
+    q = _quant_i8(hf, ivb[:, None, None, :])
+    acc = jax.lax.conv_general_dilated(
+        q, qw, (1, 1), "SAME", rhs_dilation=(d, 1),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    y3 = (x.astype(jnp.float32) * jnp.float32(SQRT2_INV)
+          + acc.astype(jnp.float32) * post[:, None, None, :])
+    mom = jnp.stack([jnp.sum(y3, (1, 2)), jnp.sum(y3 * y3, (1, 2)),
+                     jnp.max(jnp.abs(y3), (1, 2))])
+    yp = jnp.pad(y3.astype(xp.dtype),
+                 ((0, 0), (2 * dm, 2 * dm), (8, 8 + (T8 - T)), (0, 0)))
+    return yp, mom
+
+
+SQRT2_INV = 0.7071067811865475
+
+
+@functools.lru_cache(maxsize=None)
+def _build_fused_int8_call(B, F, T, T8, C, Cp, dm, d, BF, BT, per_slab,
+                           dtype_name, interpret):
+    """One int8 fused ResnetBlock dilation stage (see fused_stage_int8)."""
+    dt = jnp.dtype(dtype_name)
+    BTw = BT + 16
+    nF, nT = F // BF, T8 // BT
+    ntiles = B * nF * nT
+    nrows = 5 * BF if per_slab else BF + 4 * d
+    M = BF * BT
+    roff = 2 * dm - 2 * d
+
+    def kernel(xp_ref, prev_ref, wk_ref, a_ref, iv_ref, post_ref,
+               out_ref, mom_ref, xbuf, hq, patch, acc, obuf, sin, sout):
+        del prev_ref  # storage donor only
+        mom_ref[...] = jnp.zeros((3, B, Cp), jnp.float32)
+
+        def coords(t):
+            b = t // (nF * nT)
+            r = t % (nF * nT)
+            return b, r // nT, r % nT
+
+        def dma_ins(slot, t):
+            b, i, j = coords(t)
+            f0 = i * BF + roff
+            t0 = j * BT
+            if per_slab:
+                return [
+                    pltpu.make_async_copy(
+                        xp_ref.at[b, pl.ds(f0 + kf * d, BF), pl.ds(t0, BTw), :],
+                        xbuf.at[slot, pl.ds(kf * BF, BF)],
+                        sin.at[slot, kf])
+                    for kf in range(5)
+                ]
+            return [pltpu.make_async_copy(
+                xp_ref.at[b, pl.ds(f0, nrows), pl.ds(t0, BTw), :],
+                xbuf.at[slot], sin.at[slot, 0])]
+
+        def dma_out(slot, t):
+            b, i, j = coords(t)
+            return pltpu.make_async_copy(
+                obuf.at[slot],
+                out_ref.at[b, pl.ds(i * BF + 2 * dm, BF),
+                           pl.ds(j * BT + 8, BT), :],
+                sout.at[slot])
+
+        for c in dma_ins(0, 0):
+            c.start()
+
+        def body(t, carry):
+            slot = t % 2
+            b, i, j = coords(t)
+
+            @pl.when(t + 1 < ntiles)
+            def _():
+                for c in dma_ins((t + 1) % 2, t + 1):
+                    c.start()
+
+            for c in dma_ins(slot, t):
+                c.wait()
+
+            # ---- prologue: h_q = int8(gelu(x * a) * 127/bound).  The
+            # layout contract guarantees zero margins; gelu(0)=0 -> q=0, so
+            # out-of-range taps contribute exactly the conv zero padding.
+            av = a_ref[b, :]      # (Cp,) f32
+            ivv = iv_ref[b, :]    # (Cp,) f32 (same value in every lane)
+            CH = 8
+            while CH * 2 <= nrows and CH * 2 * BTw * Cp * 16 <= 2 * 2**20:
+                CH *= 2
+            for r0 in range(0, nrows, CH):
+                rn = min(CH, nrows - r0)
+                xt = xbuf[slot, pl.ds(r0, rn)]  # (rn, BTw, Cp) dt
+                hf = _gelu_cheap_impl(
+                    xt.astype(jnp.float32) * av[None, None, :])
+                hq[pl.ds(r0, rn)] = _quant_i8(hf, ivv[None, None, :])
+
+            # ---- implicit GEMM, per-kf patch over kt (K = 3*Cp), int8
+            for kf in range(5):
+                base = kf * BF if per_slab else kf * d
+                pb = kf % 2
+                for kt in range(3):
+                    sl = hq[pl.ds(base, BF), pl.ds(7 + kt, BT), :]
+                    patch[pb, :, kt * Cp:(kt + 1) * Cp] = sl.reshape(M, Cp)
+                pk = jnp.dot(patch[pb], wk_ref[kf],
+                             preferred_element_type=jnp.int32)
+                if kf == 0:
+                    acc[:] = pk
+                else:
+                    acc[:] = acc[:] + pk
+
+            # ---- epilogue: y = x/sqrt2 + acc * post; moments + amax
+            pv = post_ref[b, :]  # (Cp,) f32
+            x0 = xbuf[slot, pl.ds(2 * d if not per_slab else 2 * BF, BF),
+                      pl.ds(8, BT), :]
+            y3 = (x0.astype(jnp.float32) * jnp.float32(SQRT2_INV)
+                  + acc[:].reshape(BF, BT, Cp).astype(jnp.float32)
+                  * pv[None, None, :])
+            if T8 != T:
+                ocol = (j * BT) + (
+                    jax.lax.broadcasted_iota(jnp.int32, (BF, BT, Cp), 1))
+                y3 = jnp.where(ocol < T, y3, jnp.zeros_like(y3))
+
+            mom_ref[0, b, :] = mom_ref[0, b, :] + jnp.sum(y3, axis=(0, 1))
+            mom_ref[1, b, :] = mom_ref[1, b, :] + jnp.sum(y3 * y3, axis=(0, 1))
+            mom_ref[2, b, :] = jnp.maximum(
+                mom_ref[2, b, :], jnp.max(jnp.abs(y3), axis=(0, 1)))
+
+            @pl.when(t >= 2)
+            def _():
+                dma_out(slot, t - 2).wait()
+
+            obuf[slot] = y3.astype(dt)
+            dma_out(slot, t).start()
+            return carry
+
+        jax.lax.fori_loop(0, ntiles, body, 0)
+
+        @pl.when(ntiles >= 2)
+        def _():
+            dma_out((ntiles - 2) % 2, ntiles - 2).wait()
+
+        dma_out((ntiles - 1) % 2, ntiles - 1).wait()
+
+    flops = 2 * B * F * T8 * Cp * Cp * 15
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, F + 4 * dm, T8 + 16, Cp), dt),
+            jax.ShapeDtypeStruct((3, B, Cp), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, nrows, BTw, Cp), dt),
+            pltpu.VMEM((nrows, BTw, Cp), jnp.int8),
+            pltpu.VMEM((2, M, 3 * Cp), jnp.int8),
+            pltpu.VMEM((M, Cp), jnp.int32),
+            pltpu.VMEM((2, BF, BT, Cp), dt),
+            pltpu.SemaphoreType.DMA((2, 5)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        input_output_aliases={1: 0},
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=4 * B * F * T8 * Cp,
+            transcendentals=B * F * T8 * Cp,
+        ),
+        interpret=interpret,
+    )
+
+
+def _fused_plan_int8(B, F, T, C, d, vmem_budget=12 * 2**20):
+    """Tile plan for the int8 fused stage (same search as _fused_plan with
+    the int8/int32 buffer sizes)."""
+    T8 = -(-T // 8) * 8
+    best = None
+    for BT in _divisors_desc(T8):
+        if BT > 512 or BT % 8:
+            continue
+        for BF in _divisors_desc(F):
+            M = BF * BT
+            if not (128 <= M <= 4096):
+                continue
+            per_slab = d >= BF
+            nrows = 5 * BF if per_slab else BF + 4 * d
+            vmem = (
+                2 * nrows * (BT + 16) * C * 2      # xbuf x2 (dt)
+                + nrows * (BT + 16) * C            # hq (int8)
+                + 2 * M * 3 * C                    # patch x2 (int8)
+                + M * C * 4                        # acc (int32)
+                + 2 * M * C * 2                    # obuf (dt)
+                + 15 * C * C                       # weights (int8)
+                + 3 * M * C * 4                    # f32 epilogue temps
+                + 2 * 2**20                        # prologue strips
+            )
+            if vmem > vmem_budget:
+                continue
+            ntiles = B * (F // BF) * (T8 // BT)
+            read = ntiles * nrows * (BT + 16) * C
+            key = (read, -M)
+            if best is None or key < best[0]:
+                best = (key, (BF, BT, per_slab, T8))
+    return None if best is None else best[1]
+
+
+def _fused_stage_int8_impl(xp, prev, w4, a, s, bound, static):
+    dm, d, F, T, C, Cp = static
+    B = xp.shape[0]
+    T8 = xp.shape[2] - 16
+    qw, sw = _quant_weight_per_cout(w4)            # (5,3,Cp,Cp) i8, (Cp,) f32
+    bnd = jnp.maximum(bound.astype(jnp.float32), 1e-20)  # (B,)
+    ivb = jnp.broadcast_to((127.0 / bnd)[:, None], (B, Cp))
+    post = ((bnd / 127.0)[:, None] * sw[None, :]
+            * s.astype(jnp.float32) * jnp.float32(SQRT2_INV))
+    if not (_on_tpu() or _INTERPRET):
+        return _dil_stage_int8_ref(xp, prev, qw, a.astype(jnp.float32),
+                                   ivb, post, static)
+    plan = _fused_plan_int8(B, F, T, Cp, d)
+    if plan is None:
+        return _dil_stage_int8_ref(xp, prev, qw, a.astype(jnp.float32),
+                                   ivb, post, static)
+    BF, BT, per_slab, T8p = plan
+    assert T8p == T8, (T8p, T8)
+    wk = qw.reshape(5, 3 * Cp, Cp)
+    call = _build_fused_int8_call(B, F, T, T8, C, Cp, dm, d, BF, BT,
+                                  per_slab, xp.dtype.name, _INTERPRET)
+    return call(xp, prev, wk, a.astype(jnp.float32), ivb, post)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def fused_stage_int8(xp, prev, w4, a, s, bound, static):
+    """int8 fused ResnetBlock dilation stage on the chained padded layout.
+
+    Same layout contract as fused_stage_padded; additionally:
+    bound: (B,) fp32 per-item upper bound on max|gelu(x*a)| (the caller
+          derives it analytically from the PREVIOUS stage's amax row and
+          inflates by BOUND_SAFETY — models/blocks.py).
+    Returns (yp, moments) with moments (3, B, Cp) = [sum, sum of squares,
+    per-channel amax] of the real output region — the amax row feeds the
+    next stage's bound, so the whole chain quantizes with zero extra
+    passes over the activations.
+    Backward is straight-through on the exact-precision stage
+    (_dil_stage_ref), matching conv_int8_hinted semantics; bound gets a
+    zero cotangent."""
+    return _fused_stage_int8_impl(xp, prev, w4, a, s, bound, static)
+
+
+def _fused_i8_fwd(xp, prev, w4, a, s, bound, static):
+    return (_fused_stage_int8_impl(xp, prev, w4, a, s, bound, static),
+            (xp, w4, a, s, bound))
+
+
+def _fused_i8_bwd(static, res, g):
+    xp, w4, a, s, bound = res
+    g_yp, g_mom3 = g
+    prev = jnp.zeros_like(xp)
+    _, vjp = jax.vjp(
+        lambda xx, ww, aa, ss: _dil_stage_ref(xx, prev, ww, aa, ss, static),
+        xp, w4, a, s)
+    dx, dw, da, ds = vjp((g_yp, g_mom3[:2]))
+    return (dx, jnp.zeros_like(xp), dw, da, ds, jnp.zeros_like(bound))
+
+
+fused_stage_int8.defvjp(_fused_i8_fwd, _fused_i8_bwd)
+
+
+def int8_fused_minc() -> int | None:
+    """Channel threshold for routing ResnetBlock dilation chains through the
+    int8 fused Pallas stage, or None when inactive.  BABE_INT8_FUSED=1
+    fuses every level the plain int8 path quantizes (>= BABE_INT8_MINC);
+    a number fuses levels with at least that many channels (independent of
+    BABE_INT8_MINC, so C=64 can be probed: its padded-to-128 fused
+    economics differ from the unfused plain-int8 wash).  Requires the
+    analytic-bound scale mode (the prologue's scale must be known before
+    the activation exists)."""
+    spec = os.environ.get("BABE_INT8_FUSED", "0")
+    if spec in ("0", "", "off"):
+        return None
+    if _precision() != "int8" or _int8_scale_mode() != "bound":
+        return None
+    if not (_on_tpu() or _INTERPRET):
+        return None
+    return _int8_minc() if spec in ("1", "on") else int(spec)
 
 
 

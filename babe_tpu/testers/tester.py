@@ -819,6 +819,17 @@ class Tester:
                 final[0, tail_ix : tail_ix + m] += win
                 if tail_len > segL:
                     final[0, tail_ix + segL :] = degraded[0, tail_ix + segL :]
+                    # short linear crossfade across the splice so the
+                    # enhanced tail doesn't hard-cut into the raw degraded
+                    # fill (an audible click otherwise; ADVICE r4)
+                    xf = min(int(OLA), segL, tail_ix + segL)
+                    if xf > 1:
+                        sp = tail_ix + segL - xf
+                        ramp = np.linspace(1.0, 0.0, xf, endpoint=False,
+                                           dtype=np.float32)
+                        final[0, sp : sp + xf] = (
+                            final[0, sp : sp + xf] * ramp
+                            + degraded[0, sp : sp + xf] * (1.0 - ramp))
 
             ulog.write_audio_file(final, self.fs, n, path_out)
             if blind:

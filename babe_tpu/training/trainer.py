@@ -107,6 +107,17 @@ def make_train_step(model, edm: EDM, optimizer, exp_cfg, num_sigma_bins: int = 1
             return error2.mean(), (error2, sigma)
 
     def step(state: TrainState, batch, key):
+        # training always differentiates the exact full-precision convs,
+        # even if a same-process BABE.load(precision='int8') set
+        # BABE_INT8_BWD=1 for inference (conv_kernels.exact_backward wins
+        # over the env var at trace time; QAT under BABE_PRECISION=int8
+        # keeps its quantized FORWARD — only the backward is pinned exact)
+        from babe_tpu.ops.conv_kernels import exact_backward
+
+        with exact_backward():
+            return _step_body(state, batch, key)
+
+    def _step_body(state: TrainState, batch, key):
         if num_accum > 1:
             # gradient accumulation: batch is [rounds*B, T], averaged grads
             # (reference: training/trainer.py:387-398)

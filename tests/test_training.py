@@ -313,3 +313,38 @@ def test_train_step_int8_qat(tmp_path, monkeypatch, scale_mode):
     assert all(np.isfinite(losses)), losses
     p1 = jax.tree.leaves(tr.state.params)[0]
     assert float(jnp.abs(p1 - p0).max()) > 0
+
+
+def test_train_grads_unaffected_by_int8_bwd_env(tmp_path, monkeypatch):
+    """A same-process BABE.load(precision='int8') sets BABE_INT8_BWD=1 for
+    inference; training traced afterwards must still use the exact conv
+    backward (trainer wraps its step in conv_kernels.exact_backward()).
+    Same seed + same data => the first step's grad_norm must be BITWISE
+    identical with and without the env var (ADVICE r4 medium)."""
+    monkeypatch.setenv("BABE_PRECISION", "int8")
+    monkeypatch.setenv("BABE_INT8_MINC", "8")
+    args = make_args(tmp_path)
+    model = CQTDiffPlus.from_config(args)
+    edm = EDM.from_config(args, cqt_hpf=model.apply_hpf_DC)
+
+    def first_step_gradnorm():
+        tr = Trainer(args, synthetic_dset(8, LEN), model, edm,
+                     mesh=make_mesh(8))
+        return float(tr.train_step()["grad_norm"])
+
+    g_plain = first_step_gradnorm()
+    monkeypatch.setenv("BABE_INT8_BWD", "1")
+    g_env = first_step_gradnorm()
+    assert g_plain == g_env, (g_plain, g_env)
+
+
+def test_mesh_for_batch_rejects_indivisible():
+    """train.py must hard-fail (naming the fixes) when exp.batch does not
+    divide the device count — never silently degrade to one device
+    (VERDICT r4 weak #5)."""
+    from babe_tpu.parallel.mesh import mesh_for_batch
+
+    with pytest.raises(ValueError, match="num_accumulation_rounds"):
+        mesh_for_batch(4, 8)
+    assert mesh_for_batch(16, 8).devices.size == 8
+    assert mesh_for_batch(8, 8).devices.size == 8

@@ -17,7 +17,7 @@ def _main(args):
 
     from babe_tpu.data.datasets import setup_dataset
     from babe_tpu.models.cqtdiff import CQTDiffPlus  # noqa: F401 (registry)
-    from babe_tpu.parallel.mesh import make_mesh
+    from babe_tpu.parallel.mesh import mesh_for_batch
     from babe_tpu.registry import get_obj_by_name
     from babe_tpu.training.trainer import Trainer
 
@@ -68,8 +68,9 @@ def _main(args):
         tester = Tester(args, model, diff_params, test_set=test_set)
 
     n_batch = int(args.exp.batch)
-    n_dev = len(jax.devices())
-    mesh = make_mesh(n_dev if n_batch % n_dev == 0 else 1)
+    # hard error (never a silent 1-device fallback) when the batch cannot
+    # be sharded over the visible devices — see mesh_for_batch
+    mesh = mesh_for_batch(n_batch)
     print(f"training on {mesh.devices.size} device(s), batch {n_batch}")
     trainer = Trainer(args, dset, model, diff_params, tester=tester, mesh=mesh,
                       teacher=teacher)
