@@ -168,7 +168,7 @@ def _quant_weight_per_cout(w):
     return q, s
 
 
-def _conv_int8_impl(x, w, dilation):
+def _conv_int8_impl(x, w, dilation, with_q=False):
     qx, sx = _quant_act_per_item(x)
     qw, sw = _quant_weight_per_cout(w)
     # barrier: without it the TPU conv emitter folds the quantize chain into
@@ -182,7 +182,42 @@ def _conv_int8_impl(x, w, dilation):
         preferred_element_type=jnp.int32,
     )
     scale = sx * sw  # (B,1,1,1) x (co,) -> (B,1,1,co)
-    return (acc.astype(jnp.float32) * scale).astype(x.dtype)
+    out = (acc.astype(jnp.float32) * scale).astype(x.dtype)
+    return (out, qx, sx) if with_q else out
+
+
+def _int8_bwd_from_q(dilation, qx, sx, w, g):
+    """Straight-through backward from the SAVED int8 activation.
+
+    Saving (qx, sx) instead of the bf16 conv input matters inside the
+    guided sampler's vjp: the bound-mode forward never materializes the
+    bf16 activation (the producer chain fuses into the int8 write), and a
+    residual holding x would force exactly that materialization back —
+    plus the residual traffic halves.  dw = g (x) dequant(qx) is the TRUE
+    weight gradient of the quantized forward (the activation quantize is
+    upstream of w), so this is also the more faithful QAT estimator; dx
+    stays the exact conv transpose in w (straight-through on both
+    quantizations), or the quantized transpose under BABE_INT8_BWD=1."""
+    xhat = (qx.astype(jnp.float32) * sx).astype(g.dtype)
+    if _int8_bwd_active():
+        # dx on the int8 MXU: for a stride-1 'SAME' conv with odd kernel
+        # and symmetric dilation padding, the input cotangent is the 'SAME'
+        # correlation of g with the spatially-flipped, io-swapped kernel at
+        # the same rhs_dilation — the same quantized-conv implementation
+        # applies (per-item dynamic scales on g).  Intended for the guided
+        # sampler's input-only vjp (dw is DCE'd there since params are
+        # closure constants); training forces the exact path via
+        # exact_backward().
+        wT = jnp.flip(w, axis=(0, 1)).swapaxes(2, 3)
+        dx = _conv_int8_impl(g, wT, dilation)
+    else:
+        dx = jax.linear_transpose(
+            lambda xx: conv_xla(xx, w, dilation),
+            jax.ShapeDtypeStruct(qx.shape, g.dtype))(g)[0]
+    dw = jax.linear_transpose(
+        lambda ww: conv_xla(xhat, ww, dilation),
+        jax.ShapeDtypeStruct(w.shape, w.dtype))(g)[0]
+    return dx, dw
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -193,33 +228,19 @@ def conv_int8(x, w, dilation=(1, 1)):
 
 
 def _conv_int8_fwd(x, w, dilation):
-    return _conv_int8_impl(x, w, dilation), (x, w)
+    out, qx, sx = _conv_int8_impl(x, w, dilation, with_q=True)
+    return out, (qx, sx, w)
 
 
 def _conv_int8_bwd(dilation, res, g):
-    x, w = res
-    if _int8_bwd_active():
-        # dx on the int8 MXU as well: for a stride-1 'SAME' conv with odd
-        # kernel and symmetric dilation padding, the input cotangent is the
-        # 'SAME' correlation of g with the spatially-flipped, io-swapped
-        # kernel at the same rhs_dilation — so the same quantized-conv
-        # implementation applies (per-item dynamic scales on g).  Intended
-        # for the guided sampler's input-only vjp (dw below stays exact and
-        # is DCE'd there since params are closure constants); training keeps
-        # the default exact backward.
-        wT = jnp.flip(w, axis=(0, 1)).swapaxes(2, 3)
-        dx = _conv_int8_impl(g, wT, dilation)
-        _, pull_w = jax.vjp(lambda w_: conv_xla(x, w_, dilation), w)
-        (dw,) = pull_w(g)
-        return (dx, dw)
-    _, pull = jax.vjp(lambda x_, w_: conv_xla(x_, w_, dilation), x, w)
-    return pull(g)
+    qx, sx, w = res
+    return _int8_bwd_from_q(dilation, qx, sx, w, g)
 
 
 conv_int8.defvjp(_conv_int8_fwd, _conv_int8_bwd)
 
 
-def _conv_int8_hinted_impl(x, w, amax_bound, dilation):
+def _conv_int8_hinted_impl(x, w, amax_bound, dilation, with_q=False):
     qx, sx = _quant_act_with_scale(x, amax_bound)
     qw, sw = _quant_weight_per_cout(w)
     if os.environ.get("BABE_INT8_INNER_BARRIER", "1") != "0":
@@ -229,7 +250,8 @@ def _conv_int8_hinted_impl(x, w, amax_bound, dilation):
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32,
     )
-    return (acc.astype(jnp.float32) * (sx * sw)).astype(x.dtype)
+    out = (acc.astype(jnp.float32) * (sx * sw)).astype(x.dtype)
+    return (out, qx, sx) if with_q else out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -250,22 +272,18 @@ def conv_int8_hinted(x, w, amax_bound, dilation=(1, 1)):
 
 
 def _conv_int8_hinted_fwd(x, w, amax_bound, dilation):
-    return _conv_int8_hinted_impl(x, w, amax_bound, dilation), \
-        (x, w, amax_bound)
+    out, qx, sx = _conv_int8_hinted_impl(x, w, amax_bound, dilation,
+                                         with_q=True)
+    # residuals hold the int8 activation, NOT x: a residual on x would
+    # force the bf16 materialization bound mode exists to avoid (and did,
+    # inside the guided sampler's vjp forward, until round 5)
+    return out, (qx, sx, w, amax_bound)
 
 
 def _conv_int8_hinted_bwd(dilation, res, g):
-    x, w, amax_bound = res
-    db = jnp.zeros_like(amax_bound)
-    if _int8_bwd_active():
-        wT = jnp.flip(w, axis=(0, 1)).swapaxes(2, 3)
-        dx = _conv_int8_impl(g, wT, dilation)
-        _, pull_w = jax.vjp(lambda w_: conv_xla(x, w_, dilation), w)
-        (dw,) = pull_w(g)
-        return (dx, dw, db)
-    _, pull = jax.vjp(lambda x_, w_: conv_xla(x_, w_, dilation), x, w)
-    dx, dw = pull(g)
-    return (dx, dw, db)
+    qx, sx, w, amax_bound = res
+    dx, dw = _int8_bwd_from_q(dilation, qx, sx, w, g)
+    return (dx, dw, jnp.zeros_like(amax_bound))
 
 
 conv_int8_hinted.defvjp(_conv_int8_hinted_fwd, _conv_int8_hinted_bwd)

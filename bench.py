@@ -119,8 +119,27 @@ def main():
         "vs_baseline": round(rt_factor / 10.0, 3),
         "spread": round(spread, 4),
         "iters": n_iters,
+        "batch": batch,
         "precision": os.environ.get("BABE_PRECISION", "bf16"),
     }
+
+    # fixed-batch-8 companion number: rounds 1-3 benched at batch 8, round 4
+    # moved the headline to batch 32 (int8 keeps amortizing with batch), so
+    # the series needs both to stay interpretable round-over-round
+    # (VERDICT r4 weak #3).  BENCH_B8=0 skips (e.g. for quick sweeps).
+    if batch != 8 and os.environ.get("BENCH_B8", "1") != "0" and n_dev == 1:
+        run8 = jax.jit(
+            lambda key: sampler.predict_unconditional(key, (8, audio_len)))
+        np.asarray(run8(key)[:, :8])  # compile + first
+        walls8 = []
+        for i in range(3):
+            t0 = time.time()
+            out8 = run8(jax.random.fold_in(key, 100 + i))
+            np.asarray(out8[:, :8])
+            walls8.append(time.time() - t0)
+        result["value_b8"] = round(8 * seconds / min(walls8), 3)
+        result["spread_b8"] = round((max(walls8) - min(walls8))
+                                    / min(walls8), 4)
     print(json.dumps(result))
     print(
         f"# batch={batch} T={T} wall/iter={wall:.2f}s "

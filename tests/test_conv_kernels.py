@@ -201,9 +201,15 @@ def test_conv_int8_close_and_exact_backward(rng):
     g = jnp.asarray(rng.standard_normal(y8.shape).astype(np.float32))
     _, p8 = jax.vjp(lambda x, w: ck.conv_int8(x, w, (2, 1)), x, w)
     _, pb = jax.vjp(lambda x, w: ck.conv_xla(x, w, (2, 1)), x, w)
-    for a, b in zip(p8(g), pb(g)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-4, atol=1e-4)
+    (dx8, dw8), (dxb, dwb) = p8(g), pb(g)
+    # dx: exact conv transpose in w (straight-through on both quantizations)
+    np.testing.assert_allclose(np.asarray(dx8), np.asarray(dxb),
+                               rtol=1e-4, atol=1e-4)
+    # dw = g (x) dequant(q): the TRUE weight gradient of the quantized
+    # forward (residuals hold the int8 activation, not x — see
+    # _int8_bwd_from_q); within quantization error of the at-x transpose
+    relw = float(jnp.linalg.norm(dw8 - dwb) / jnp.linalg.norm(dwb))
+    assert relw < 0.03, relw
 
 
 def test_conv_int8_bwd_quantized_dx(rng, monkeypatch):
@@ -220,8 +226,8 @@ def test_conv_int8_bwd_quantized_dx(rng, monkeypatch):
     (dx8, dw8), (dxb, dwb) = p8(g), pb(g)
     rel = float(jnp.linalg.norm(dx8 - dxb) / jnp.linalg.norm(dxb))
     assert 1e-6 < rel < 0.03, rel  # quantized (not exact), but close
-    np.testing.assert_allclose(np.asarray(dw8), np.asarray(dwb),
-                               rtol=1e-4, atol=1e-4)
+    relw = float(jnp.linalg.norm(dw8 - dwb) / jnp.linalg.norm(dwb))
+    assert relw < 0.03, relw  # dw from the saved int8 activation
 
 
 def test_conv_int8_hinted_close_and_straight_through(rng):
@@ -245,8 +251,8 @@ def test_conv_int8_hinted_close_and_straight_through(rng):
     dxb, dwb = pb(g)
     np.testing.assert_allclose(np.asarray(dx8), np.asarray(dxb),
                                rtol=1e-4, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(dw8), np.asarray(dwb),
-                               rtol=1e-4, atol=1e-4)
+    relw = float(jnp.linalg.norm(dw8 - dwb) / jnp.linalg.norm(dwb))
+    assert relw < 0.05, relw  # dw from the saved int8 activation
     assert float(jnp.max(jnp.abs(db8))) == 0.0
 
 
