@@ -17,6 +17,7 @@ Init parity: EDM-style kaiming_uniform scaled by init_weight
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Callable
 
 import flax.linen as nn
@@ -155,6 +156,31 @@ def _layout_pin_carrier(x, field_spec: str = "auto"):
     if mode != "fwd" or (maxc is not None and x.shape[-1] > maxc):
         return x
     return _constrain(x, mm)
+
+
+def _stage_remat() -> bool:
+    """BABE_STAGE_REMAT=1: rematerialize the dilation-stage producer chain
+    in the backward.  The guided sampler's vjp otherwise saves the pre-gelu
+    tensor (the _gelu_* custom vjps' residual) — one full bf16 write (fwd)
+    + read (bwd) per dilation stage.  With remat the backward recomputes it
+    as x * a from the block carrier x (a residual the GN backward reads
+    anyway) and the folded (B,C) factor a: the added compute is one
+    multiply fused into the existing gelu'-chain pass, the saved traffic
+    is 4 bytes/element/stage."""
+    return os.environ.get("BABE_STAGE_REMAT", "0") == "1"
+
+
+def _gelu_affine(x, a32, int8_out: bool):
+    """gelu(x * a[:, None, None, :]) under jax.checkpoint (see
+    _stage_remat).  a32: (B, C) fp32 folded GN-normalize x sigma-affine
+    factor gamma_n/(std+eps) * (gamma+1)."""
+    from babe_tpu.ops.conv_kernels import _gelu_for_int8
+
+    def f(xx, aa):
+        v = xx * aa[:, None, None, :].astype(xx.dtype)
+        return _gelu_for_int8(v) if int8_out else _gelu_exact(v)
+
+    return jax.checkpoint(f)(x, a32)
 
 
 def gelu_exact(x):
@@ -342,15 +368,17 @@ GN_EPS = 1e-7
 BOUND_SAFETY = 1.02
 
 
-def _gn_forward(x, gamma, g: int, eps: float):
+def _gn_moments(x, g: int, eps: float):
+    """Group statistics of BiasFreeGroupNorm without the normalize pass.
+
+    TPU-lane-friendly: reducing a (B,F,T,g,C/g) reshape wastes up to 16x
+    of the 128-wide vector lanes (minor dim C/g as small as 8).  Instead
+    reduce over (F,T) per CHANNEL — fully lane-aligned — then pool the
+    tiny (B,C) result per group.  One fused read of x for both moments.
+    Returns (m, std), each (B, g) fp32."""
     B, F, T, C = x.shape
     cg = C // g
     n = F * T * cg
-    # TPU-lane-friendly group statistics: reducing a (B,F,T,g,C/g)
-    # reshape wastes up to 16x of the 128-wide vector lanes (minor dim
-    # C/g as small as 8).  Instead reduce over (F,T) per CHANNEL — fully
-    # lane-aligned — then pool the tiny (B,C) result per group.  One
-    # fused read of x for both moments, one read+write to normalize.
     x32 = x.astype(jnp.float32)
     s1 = jnp.mean(x32, axis=(1, 2))  # (B, C)
     s2 = jnp.mean(x32 * x32, axis=(1, 2))
@@ -359,6 +387,13 @@ def _gn_forward(x, gamma, g: int, eps: float):
     # unbiased (torch x.std()) variance via E[x^2] - E[x]^2
     var = (sq - m * m) * (n / (n - 1.0))
     std = jnp.sqrt(jnp.maximum(var, 0.0))  # (B, g)
+    return m, std
+
+
+def _gn_forward(x, gamma, g: int, eps: float):
+    B, F, T, C = x.shape
+    cg = C // g
+    m, std = _gn_moments(x, g, eps)
     denom = jnp.repeat(std + eps, cg, axis=-1).astype(x.dtype)  # (B, C)
     # gamma/denom folded into ONE per-(B,C) factor and applied as a
     # multiply: a full-tensor divide costs several VPU ops/element on TPU
@@ -643,40 +678,63 @@ class ResnetBlock(nn.Module):
             use_hint = (self.use_norm and self.kernel_size != (1, 1)
                         and _int8_active(N, N)
                         and _int8_scale_mode() == "bound")
+            use_remat = (_stage_remat() and self.use_norm
+                         and self.kernel_size != (1, 1))
             for i in range(self.num_dils):
                 x0 = x
                 h = x
                 hint = None
-                if use_hint:
-                    gn = BiasFreeGroupNorm(N, name=f"norm_{i}")
-                    gamma_n = gn(None)
-                    h, (_m, std_, _denom) = _gn_forward(
-                        h, gamma_n, gn.num_groups, gn.eps)
-                    amax_c = jnp.max(jnp.abs(x.astype(jnp.float32)),
-                                     axis=(1, 2))  # (B, C)
-                    denom32 = jnp.repeat(std_ + gn.eps, N // gn.num_groups,
-                                         axis=-1)
-                elif self.use_norm:
-                    h = BiasFreeGroupNorm(N, name=f"norm_{i}")(h)
                 gamma = Linear(N, name=f"affine_{i}")(sigma_emb)
                 scale = Linear(N, init_weight=INIT_ZERO,
                                name=f"gate_{i}")(sigma_emb)
-                h = h * (gamma[:, None, None, :] + 1.0)
-                if self.kernel_size != (1, 1) and _int8_active(N, N):
-                    # output feeds an int8 quantize: the degree-6 erf's
-                    # error sits 5.9x under the quantization half-step
-                    # (see _gelu_for_int8) and the fused GN-affine-gelu-
-                    # quantize chain is VPU-bound
-                    from babe_tpu.ops.conv_kernels import _gelu_for_int8
-                    h = _gelu_for_int8(h)
+                int8_out = self.kernel_size != (1, 1) and _int8_active(N, N)
+                if use_remat:
+                    # fold GN-normalize and sigma-affine into ONE (B,C)
+                    # factor and checkpoint gelu(x*a): the pre-gelu tensor
+                    # is recomputed in the backward, not saved (see
+                    # _stage_remat).  The hint simplifies to
+                    # BOUND_SAFETY * max_c amax_c(x)*|a_c| — same bound.
+                    gn = BiasFreeGroupNorm(N, name=f"norm_{i}")
+                    gamma_n = gn(None)
+                    _m, std_ = _gn_moments(x, gn.num_groups, gn.eps)
+                    denom32 = jnp.repeat(std_ + gn.eps, N // gn.num_groups,
+                                         axis=-1)  # (B, C)
+                    a32 = (gamma_n[None, :] / denom32) * (
+                        gamma.astype(jnp.float32) + 1.0)
+                    if use_hint:
+                        amax_c = jnp.max(jnp.abs(x.astype(jnp.float32)),
+                                         axis=(1, 2))  # (B, C)
+                        hint = BOUND_SAFETY * jnp.max(
+                            amax_c * jnp.abs(a32), axis=-1)  # (B,)
+                    h = _gelu_affine(x, a32, int8_out)
                 else:
-                    h = gelu_exact(h)
-                if use_hint:
-                    a_abs = jnp.abs(
-                        gamma_n[None, :]
-                        * (gamma.astype(jnp.float32) + 1.0)) / denom32
-                    hint = BOUND_SAFETY * jnp.max(amax_c * a_abs,
-                                                  axis=-1)  # (B,)
+                    if use_hint:
+                        gn = BiasFreeGroupNorm(N, name=f"norm_{i}")
+                        gamma_n = gn(None)
+                        h, (_m, std_, _denom) = _gn_forward(
+                            h, gamma_n, gn.num_groups, gn.eps)
+                        amax_c = jnp.max(jnp.abs(x.astype(jnp.float32)),
+                                         axis=(1, 2))  # (B, C)
+                        denom32 = jnp.repeat(std_ + gn.eps,
+                                             N // gn.num_groups, axis=-1)
+                    elif self.use_norm:
+                        h = BiasFreeGroupNorm(N, name=f"norm_{i}")(h)
+                    h = h * (gamma[:, None, None, :] + 1.0)
+                    if int8_out:
+                        # output feeds an int8 quantize: the degree-6 erf's
+                        # error sits 5.9x under the quantization half-step
+                        # (see _gelu_for_int8) and the fused GN-affine-gelu-
+                        # quantize chain is VPU-bound
+                        from babe_tpu.ops.conv_kernels import _gelu_for_int8
+                        h = _gelu_for_int8(h)
+                    else:
+                        h = gelu_exact(h)
+                    if use_hint:
+                        a_abs = jnp.abs(
+                            gamma_n[None, :]
+                            * (gamma.astype(jnp.float32) + 1.0)) / denom32
+                        hint = BOUND_SAFETY * jnp.max(amax_c * a_abs,
+                                                      axis=-1)  # (B,)
                 if self.kernel_size != (1, 1):
                     # keep the gelu/affine chain OUT of the conv fusion: the
                     # TPU conv emitter re-evaluates fused producers once per

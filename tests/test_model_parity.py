@@ -174,3 +174,41 @@ def test_gn_custom_vjp(rng):
     x0 = jnp.ones((1, 2, 2, 16), jnp.float32)
     dx0 = jax.grad(lambda xx: jnp.sum(_gn_apply(xx, gamma, g, eps)))(x0)
     assert np.all(np.isfinite(np.asarray(dx0)))
+
+
+@pytest.mark.parametrize("precision,scale", [("bf16", "dynamic"),
+                                             ("int8", "dynamic"),
+                                             ("int8", "bound")])
+def test_stage_remat_equivalence(rng, monkeypatch, precision, scale):
+    """BABE_STAGE_REMAT=1 (fold GN-scale x sigma-affine into one (B,C)
+    factor, jax.checkpoint the gelu(x*a) producer so the guided vjp
+    recomputes the pre-gelu tensor instead of saving it) must match the
+    default path: forward and input cotangent exactly in fp32, param
+    grads to fp reassociation tolerance."""
+    from babe_tpu.models.blocks import ResnetBlock
+
+    monkeypatch.setenv("BABE_PRECISION", precision)
+    monkeypatch.setenv("BABE_INT8_SCALE", scale)
+    monkeypatch.setenv("BABE_INT8_MINC", "16")
+    blk = ResnetBlock(dim=16, dim_out=16, num_dils=2, emb_dim=32)
+    x = jnp.asarray(rng.standard_normal((2, 8, 24, 16)).astype(np.float32))
+    emb = jnp.asarray(rng.standard_normal((2, 32)).astype(np.float32))
+    gr = jnp.asarray(rng.standard_normal((2, 8, 24, 16)).astype(np.float32))
+
+    def run(remat):
+        monkeypatch.setenv("BABE_STAGE_REMAT", "1" if remat else "0")
+        v = blk.init(jax.random.PRNGKey(2), x, emb)
+        y, pull = jax.vjp(lambda xx: blk.apply(v, xx, emb), x)
+        (dx,) = pull(gr)
+        gp = jax.grad(
+            lambda p: jnp.sum(blk.apply({"params": p}, x, emb) ** 2)
+        )(v["params"])
+        return np.asarray(y), np.asarray(dx), gp
+
+    y0, dx0, gp0 = run(False)
+    y1, dx1, gp1 = run(True)
+    np.testing.assert_allclose(y1, y0, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(dx1, dx0, rtol=1e-6, atol=1e-6)
+    for k0, k1 in zip(jax.tree.leaves(gp0), jax.tree.leaves(gp1)):
+        np.testing.assert_allclose(np.asarray(k1), np.asarray(k0),
+                                   rtol=1e-3, atol=1e-3)
